@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Per-run metric counters — mirrors RunStatistics
+  * (reference: src/data_structures.rs:144-150, printed at
+  * src/collector.rs:228-239). */
+case class RunStats(rowsIn: Long, rowsDeduped: Long, rowsDroppedByFilter: Long,
+                    rowsQuarantined: Long, rowsRouted: Long)
+
+/**
+ * The flagship pipeline (reference entry point 1, SURVEY.md §3.1):
+ *
+ *   scan sequences → anti-join known-content state (dedup, J1)
+ *     → parse audit fields (F10) → rules filter (P1) → route + OriginFeed
+ *     → fan out to six sink shapes → commit state + metrics.
+ *
+ * Spark-first shape: one declarative plan per sink over a single persisted
+ * routed DataFrame; the reference's channels/threads dissolve into the DAG
+ * (SURVEY.md §3.2). Filters run BEFORE the fan-out so each sink writes the
+ * minimal set; the anti-join runs BEFORE parse (cheapest-first, the
+ * reference's known-blob skip-before-fetch, src/api_connection.rs:341-343).
+ */
+object Pipeline {
+
+  case class Config(
+    rules: Seq[RoutingRule] = DataGen.routingRules,
+    saltBuckets: Int = 8,
+    tenant: String = "MyTenant",
+    skipKnownLogs: Boolean = true,
+    nowEpochSec: Long = Parse.BaseEpoch + Parse.SpanSeconds,
+    expirationEpochSec: Long = Parse.BaseEpoch + 30L * 24 * 3600)
+
+  case class Result(stats: RunStats, snapshot: Option[Int])
+
+  /** The transform core, sink-agnostic: sequences → routed records.
+    * Pure function, unit-testable without I/O. */
+  def routedRecords(sequences: DataFrame, rules: Seq[RoutingRule]): DataFrame = {
+    val parsed = Parse.deriveFields(sequences)
+    val filtered = FilterStage.applyStatic(parsed, rules)
+    Route.routed(filtered)
+  }
+
+  /**
+   * Full run: read → dedup → parse → filter → route → write sinks →
+   * commit state. Returns observed per-stage counts (the reference's
+   * found/saved statistics) computed via `observe` — they piggyback on the
+   * write actions instead of costing extra passes.
+   */
+  def run(spark: SparkSession, sequences: DataFrame, outDir: String,
+          cfg: Config = Config()): Result = {
+
+    val state = new StateStore(s"$outDir/state")
+
+    val fresh =
+      if (cfg.skipKnownLogs)
+        state.dedup(sequences, state.load(spark, cfg.nowEpochSec))
+      else sequences
+
+    val parsed = Parse.deriveFields(fresh)
+    val filtered = FilterStage.applyStatic(parsed, cfg.rules)
+
+    // One materialization feeds all sinks + quarantine (the reference clones
+    // the batch per interface, src/collector.rs:215-226; we persist once).
+    val filteredCached = filtered.persist(StorageLevel.MEMORY_AND_DISK)
+    val quarantine = Route.quarantined(filteredCached)
+    val cached = Route.routed(filteredCached)
+    try {
+      val salted = Route.saltedForWrite(cached, cfg.saltBuckets)
+      Sinks.write(Sinks.fileCsvShape(salted), s"$outDir/file_csv", Seq("content_type"))
+      Sinks.write(Sinks.graylogShape(cached), s"$outDir/graylog")
+      Sinks.write(Sinks.fluentdShape(cached, cfg.tenant), s"$outDir/fluentd")
+      Sinks.write(Sinks.logAnalyticsShape(cached), s"$outDir/log_analytics", Seq("log_type"))
+      Sinks.write(Sinks.prtgShape(cached), s"$outDir/prtg")
+      Sinks.write(Sinks.routedChecksum(cached), s"$outDir/checksums")
+      Sinks.write(quarantine, s"$outDir/quarantine")
+
+      // Per-partition lineage metrics (north rule): rows routed per task.
+      val partMetrics = cached.groupBy(spark_partition_id().as("partition_id"))
+        .agg(count(lit(1)).as("rows"))
+        .select(lit("routed").as("stage"), col("partition_id"), col("rows"))
+      Sinks.write(partMetrics, s"$outDir/metrics")
+
+      // State commit strictly AFTER all sink writes (resume contract).
+      // The reference marks every RECEIVED blob known, including rows the
+      // filter later drops (src/collector.rs:161 precedes the filter at
+      // :176-184) — so commit all fresh ids, not just routed ones. This is
+      // a second, column-pruned pass over the input (doc_id only), cheaper
+      // at scale than keeping the pre-filter set cached through the fan-out.
+      val snap = state.commit(spark, fresh.select("doc_id"), "doc_id",
+        cfg.expirationEpochSec, cfg.nowEpochSec)
+
+      // Stats: all counts are either parquet-footer metadata counts (input,
+      // committed snapshot) or served from the persisted filtered set —
+      // no extra full passes (reference's RunStatistics, A1/A4).
+      val rowsIn = sequences.count()
+      val rowsFresh = spark.read.parquet(s"${state.dir}/snapshot-$snap").count()
+      val rowsFiltered = filteredCached.count()
+      val rowsRouted = cached.count()
+      val stats = RunStats(
+        rowsIn = rowsIn,
+        rowsDeduped = rowsIn - rowsFresh,
+        rowsDroppedByFilter = rowsFresh - rowsFiltered,
+        rowsQuarantined = rowsFiltered - rowsRouted,
+        rowsRouted = rowsRouted)
+      Result(stats, Some(snap))
+    } finally filteredCached.unpersist()
+  }
+}

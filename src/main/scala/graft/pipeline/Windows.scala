@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Run-plan window splitting (reference: Config::get_needed_runs,
+ * src/config.rs:29-56): split an `hoursToCollect` look-back (hard max 168 h,
+ * enforced by panic in the reference) into <=24 h (start, end] windows per
+ * content type, newest window last. The plan is a tiny driver-built
+ * DataFrame — in the full pipeline it prunes the input scan by a window
+ * column (partition pruning at the 10^12 scale).
+ */
+object Windows {
+
+  val MaxHours = 168
+
+  /** Pure Scala plan (driver side, like the reference). */
+  def plan(endEpochSec: Long, hoursToCollect: Int): Seq[(Long, Long)] = {
+    require(hoursToCollect >= 1 && hoursToCollect <= MaxHours,
+      s"hoursToCollect must be in [1, $MaxHours] (reference panics beyond 168h)")
+    val start = endEpochSec - hoursToCollect * 3600L
+    // windows of <=24h: [start, start+24h), ..., last ends exactly at end
+    Iterator.iterate(start)(_ + 24 * 3600L)
+      .takeWhile(_ < endEpochSec)
+      .map(s => (s, math.min(s + 24 * 3600L, endEpochSec)))
+      .toSeq
+  }
+
+  /** Same plan as a DataFrame of (content_type, window_start, window_end) —
+    * built with explode(sequence(...)) so it is expressible as a query. */
+  def planDf(spark: SparkSession, contentTypes: Seq[String],
+             endEpochSec: Long, hoursToCollect: Int): DataFrame = {
+    require(hoursToCollect >= 1 && hoursToCollect <= MaxHours)
+    val start = endEpochSec - hoursToCollect * 3600L
+    import spark.implicits._
+    contentTypes.toDF("content_type")
+      .withColumn("window_start",
+        explode(sequence(lit(start), lit(endEpochSec - 1), lit(24 * 3600L))))
+      .withColumn("window_end",
+        least(col("window_start") + lit(24 * 3600L), lit(endEpochSec)))
+      .select(col("content_type"),
+        timestamp_seconds(col("window_start")).as("window_start"),
+        timestamp_seconds(col("window_end")).as("window_end"))
+  }
+
+  /** Assign each record to its 24h tumbling collection window (ST3). */
+  def withWindow(df: DataFrame, tsCol: String): DataFrame =
+    df.withColumn("window_start",
+      window(to_timestamp(col(tsCol), "yyyy-MM-dd'T'HH:mm:ss"), "24 hours")("start"))
+}

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("end-to-end run: counts reconcile and sinks are consistent") {
+    val out = tmpDir("pipe")
+    val seqs = DataGen.sequences(spark, 5000L, 4)
+    val res = Pipeline.run(spark, seqs, out)
+    val st = res.stats
+    assert(st.rowsIn === 5000L)
+    assert(st.rowsDeduped === 0L)           // fresh state
+    assert(st.rowsDroppedByFilter > 0)
+    assert(st.rowsQuarantined === 0L)
+    assert(st.rowsRouted === st.rowsIn - st.rowsDeduped - st.rowsDroppedByFilter)
+
+    // All record-level sinks carry exactly the routed rows
+    val csv = spark.read.parquet(s"$out/file_csv")
+    val graylog = spark.read.parquet(s"$out/graylog")
+    val fluentd = spark.read.parquet(s"$out/fluentd")
+    val oms = spark.read.parquet(s"$out/log_analytics")
+    assert(csv.count() === st.rowsRouted)
+    assert(graylog.count() === st.rowsRouted) // all CreationTimes parse
+    assert(fluentd.count() === st.rowsRouted)
+    assert(oms.count() === st.rowsRouted)
+
+    // PRTG sensor counts sum to routed rows
+    val prtg = spark.read.parquet(s"$out/prtg")
+    assert(prtg.agg(sum("cnt")).as[Long].head() === st.rowsRouted)
+
+    // per-partition metrics sum to routed rows (lineage)
+    val metrics = spark.read.parquet(s"$out/metrics")
+    assert(metrics.agg(sum("rows")).as[Long].head() === st.rowsRouted)
+  }
+
+  test("token arrays survive end to end (north-rule invariant) incl. CSV round-trip") {
+    val out = tmpDir("pipe_tok")
+    val seqs = DataGen.sequences(spark, 2000L, 4)
+    Pipeline.run(spark, seqs, out)
+    val expected = Pipeline.routedRecords(seqs, DataGen.routingRules)
+      .select(col("doc_id"), col("tokens"))
+    // fluentd sink keeps the typed record struct
+    val fluentd = spark.read.parquet(s"$out/fluentd")
+      .select(col("record.doc_id").as("doc_id"), col("record.tokens").as("tokens"))
+    assert(expected.exceptAll(fluentd).isEmpty && fluentd.exceptAll(expected).isEmpty)
+    // CSV sink serialized tokens as JSON — parse back and compare
+    val csv = spark.read.parquet(s"$out/file_csv")
+      .select(col("doc_id"),
+        from_json(col("tokens"), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)).as("tokens"))
+    assert(expected.exceptAll(csv).isEmpty && csv.exceptAll(expected).isEmpty)
+  }
+
+  test("routed-row checksum is invariant under repartitioning") {
+    val seqs = DataGen.sequences(spark, 2000L, 4)
+    val routed = Pipeline.routedRecords(seqs, DataGen.routingRules)
+    val a = Sinks.routedChecksum(routed)
+    val b = Sinks.routedChecksum(routed.repartition(17))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("dedup: second run over the same input routes zero rows (idempotence)") {
+    val out = tmpDir("pipe_dedup")
+    val seqs = DataGen.sequences(spark, 1000L, 2)
+    val r1 = Pipeline.run(spark, seqs, out)
+    assert(r1.stats.rowsRouted > 0)
+    val r2 = Pipeline.run(spark, seqs, out)
+    assert(r2.stats.rowsDeduped === 1000L,
+      "every input row was committed (routed or filtered) in run 1")
+    assert(r2.stats.rowsRouted === 0L)
+  }
+
+  test("resume: overlapping window re-run emits each row exactly once") {
+    val out = tmpDir("pipe_resume")
+    val first = DataGen.sequences(spark, 1000L, 2)
+    val r1 = Pipeline.run(spark, first, out)
+    // second run sees an overlapping superset (late-data re-scan, ST4)
+    val superset = DataGen.sequences(spark, 1500L, 2)
+    val r2 = Pipeline.run(spark, superset, out)
+    assert(r2.stats.rowsDeduped === 1000L)
+    val total = r1.stats.rowsRouted + r2.stats.rowsRouted
+    val fresh = tmpDir("pipe_fresh")
+    val all = Pipeline.run(spark, DataGen.sequences(spark, 1500L, 2), fresh)
+    assert(total === all.stats.rowsRouted, "resume ≡ fresh run over the union")
+  }
+
+  test("quarantine captures unknown content types instead of silent drop") {
+    val out = tmpDir("pipe_quar")
+    val seqs = DataGen.sequences(spark, 200L, 2)
+    // corrupt the parse: force an unknown type on some rows
+    val parsed = Parse.deriveFields(seqs).withColumn("content_type",
+      when(pmod(xxhash64(col("doc_id")), lit(5)) === 0, lit("Audit.Bogus"))
+        .otherwise(col("content_type")))
+    val routed = Route.routed(parsed)
+    val quar = Route.quarantined(parsed)
+    assert(quar.count() > 0)
+    assert(routed.count() + quar.count() === 200L)
+    assert(routed.filter(col("OriginFeed") =!= col("content_type")).count() === 0)
+  }
+
+  test("flagship entry returns per-type counts > 0") {
+    val df = graft.SparkEntry.entry(spark)
+    val rows = df.as[(String, Long)].collect().toMap
+    assert(rows.nonEmpty && rows.values.forall(_ > 0))
+  }
+}
