@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.pipeline._
+import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -163,7 +164,111 @@ object SparkEntry {
       t(s, d, "events")
         .groupBy("event_type")
         .agg(expr("bit_xor(event_id * 2654435761 + user_id)").as("checksum"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // ---- set ops (SURVEY §2.6 O5) --------------------------------------
+    "q_intersect" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    "q_except" -> ((s, d) =>
+      t(s, d, "nation").select(col("n_nationkey").as("nk"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    // ---- JSON + crypto scalar functions (SURVEY §2.7 F1-F3, F7) --------
+    "q_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.plan").as("plan"),
+          get_json_object(col("props"), "$.device").as("device"))
+        .orderBy("event_id")),
+
+    "q_hash_md5" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")),
+
+    // ==== training-data ops ==============================================
+
+    "q_dedup_exact" -> ((s, d) => {
+      // exact dedup over a corpus with injected duplicates: keep first id
+      val docs = t(s, d, "documents").select("doc_id", "text", "lang")
+      val dups = docs.select((col("doc_id") + 10000).as("doc_id"), col("text"), col("lang"))
+      DedupOps.exactDedup(docs.unionByName(dups), Seq("text"), "doc_id")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    "q_text_stats" -> ((s, d) =>
+      TextOps.qualityScore(t(s, d, "documents"))
+        .select("doc_id", "n_words", "mean_word_len_x1000",
+          "distinct_ratio_x1000", "n_punct", "stopword_hits")
+        .orderBy("doc_id")),
+
+    "q_text_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "q_text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    "q_minhash_signature" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          DedupOps.minhashSignature(col("text"), 2, 2).getItem(0).as("m0"),
+          DedupOps.minhashSignature(col("text"), 2, 2).getItem(1).as("m1"))
+        .orderBy("doc_id")),
+
+    "q_dedup_minhash_lsh" -> ((s, d) =>
+      DedupOps.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
+          n = 2, k = 8, bands = 4, minJaccardPct = 60)
+        .select(col("id_a"), col("id_b"),
+          col("inter_size").cast("long").as("inter_size"),
+          col("union_size").cast("long").as("union_size"))
+        .orderBy("id_a", "id_b")),
+
+    "q_dedup_ngram_jaccard" -> ((s, d) =>
+      DedupOps.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          "lang", n = 2, minJaccardPct = 55)
+        .select(col("blk"), col("id_a"), col("id_b"),
+          col("inter_size").cast("long").as("inter_size"),
+          col("union_size").cast("long").as("union_size"))
+        .orderBy("blk", "id_a", "id_b")),
+
+    "q_dedup_simhash" -> ((s, d) => {
+      // xxhash64-based — no DuckDB equivalent; rows-only check
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val dups = docs.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      DedupOps.simhashNearDups(docs.unionByName(dups), "doc_id", "text", maxHamming = 0)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_ann_top1" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilarityOps.bruteForceTopK(e, e, "vec_id", "embedding", 1)
+        .select("query_id", "neighbor_id").orderBy("query_id")
+    }),
+
+    "q_embed_neardup" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select("vec_id", "embedding")
+      val dups = e.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      SimilarityOps.embeddingNearDups(e.unionByName(dups), "vec_id", "embedding",
+          bits = 8, minCosine = 0.9999)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }),
+
+    "q_media_decode" -> ((s, d) => {
+      // multimodal plumbing — synthetic binary, stubbed decode; rows-only
+      val media = Multimodal.syntheticMedia(s, 1000L, 8)
+      Multimodal.decodeStub(media).toDF()
+        .groupBy("media_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("n_frames").cast("long")).as("frames"))
+        .orderBy("media_type")
+    })
   )
 
   /** DuckDB-runnable oracles; table names resolve to the same parquet. */
@@ -240,6 +345,115 @@ object SparkEntry {
     "q_checksum_orderless" ->
       """SELECT event_type,
          bit_xor(event_id * 2654435761 + user_id) AS checksum
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+         INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY 1""",
+    "q_except" ->
+      """SELECT n_nationkey AS nk FROM nation
+         EXCEPT SELECT s_nationkey AS nk FROM supplier ORDER BY 1""",
+    "q_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.plan') AS plan,
+         json_extract_string(props, '$.device') AS device
+         FROM events ORDER BY event_id""",
+    "q_hash_md5" ->
+      "SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
+    "q_dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, min(lang) AS lang FROM (
+           SELECT doc_id, text, lang FROM documents
+           UNION ALL SELECT doc_id + 10000, text, lang FROM documents
+         ) GROUP BY text ORDER BY doc_id""",
+    "q_text_stats" ->
+      """WITH w AS (SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS ws FROM documents)
+         SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(floor(length(array_to_string(ws, '')) * 1000.0 / len(ws)) AS BIGINT)
+             AS mean_word_len_x1000,
+           CAST(floor(len(list_distinct(ws)) * 1000.0 / len(ws)) AS BIGINT)
+             AS distinct_ratio_x1000,
+           CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT)
+             AS n_punct,
+           CAST(len(list_intersect(list_distinct(ws),
+             ['the','a','of','and','to','in','is','it','that','for'])) AS BIGINT)
+             AS stopword_hits
+         FROM w ORDER BY doc_id""",
+    "q_text_langid" ->
+      """WITH w AS (SELECT doc_id, lang,
+             list_distinct(string_split_regex(trim(text), '\s+')) AS dw FROM documents)
+         SELECT doc_id, lang,
+           ['en','de','fr','es','zh'][(greatest(
+             len(list_intersect(dw, ['the','a','of','and','to','in','is','it','that','for']))::BIGINT * 8 + 0,
+             len(list_intersect(dw, ['der','die','das','und','ist','nicht','ein','mit','auf','zu']))::BIGINT * 8 + 1,
+             len(list_intersect(dw, ['le','la','et','les','des','un','une','est','dans','que']))::BIGINT * 8 + 2,
+             len(list_intersect(dw, ['el','la','y','los','las','un','una','es','en','que']))::BIGINT * 8 + 3,
+             len(list_intersect(dw, ['的','是','了','在','和','有','我','不','这','人']))::BIGINT * 8 + 4
+           ) % 8 + 1)::INT] AS lang_pred
+         FROM w ORDER BY doc_id""",
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT, list_transform(
+             string_split_regex(array_to_string(
+               string_split_regex(trim(text), '\s+'), ' '), ''),
+             c -> ascii(c)::BIGINT)),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+    "q_minhash_signature" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+         s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i ->
+             list_reduce(list_prepend(0::BIGINT, list_transform(
+               string_split_regex(ws[i] || ' ' || ws[i+1], ''), c -> ascii(c)::BIGINT)),
+               (acc, x) -> (acc * 31 + x) % 1000000007))) AS sh FROM w)
+         SELECT doc_id,
+           list_min(list_transform(sh, h -> (h * 654435748 + 1013904223) % 1000000007)) AS m0,
+           list_min(list_transform(sh, h -> (h * 654435750 + 1013912142) % 1000000007)) AS m1
+         FROM s ORDER BY doc_id""",
+    "q_dedup_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+         s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i ->
+             list_reduce(list_prepend(0::BIGINT, list_transform(
+               string_split_regex(ws[i] || ' ' || ws[i+1], ''), c -> ascii(c)::BIGINT)),
+               (acc, x) -> (acc * 31 + x) % 1000000007))) AS sh FROM w)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size,
+           CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_size
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh)) * 100 >=
+               len(list_distinct(list_concat(a.sh, b.sh))) * 60
+         ORDER BY id_a, id_b""",
+    "q_dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+         s AS (SELECT doc_id, lang, list_distinct(list_transform(range(1, len(ws)), i ->
+             list_reduce(list_prepend(0::BIGINT, list_transform(
+               string_split_regex(ws[i] || ' ' || ws[i+1], ''), c -> ascii(c)::BIGINT)),
+               (acc, x) -> (acc * 31 + x) % 1000000007))) AS sh FROM w)
+         SELECT a.lang AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size,
+           CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_size
+         FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh)) * 100 >=
+               len(list_distinct(list_concat(a.sh, b.sh))) * 55
+         ORDER BY blk, id_a, id_b""",
+    "q_ann_top1" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+         p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           list_reduce(list_prepend(0.0, list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i])), (acc,x) -> acc+x) /
+           (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.e)+1), i -> a.e[i]*a.e[i])), (acc,x) -> acc+x)) *
+            sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(b.e)+1), i -> b.e[i]*b.e[i])), (acc,x) -> acc+x))) AS sim
+           FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+         r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+               FROM p)
+         SELECT query_id, neighbor_id FROM r WHERE rn = 1 ORDER BY query_id""",
+    "q_embed_neardup" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+                    UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+         v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM u)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM v a JOIN v b ON a.vec_id < b.vec_id
+         WHERE list_reduce(list_prepend(0.0, list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i])), (acc,x) -> acc+x) /
+           (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.e)+1), i -> a.e[i]*a.e[i])), (acc,x) -> acc+x)) *
+            sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(b.e)+1), i -> b.e[i]*b.e[i])), (acc,x) -> acc+x))) >= 0.9999
+         ORDER BY id_a, id_b"""
   )
 }

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines, smallest-shuffle-first:
+ *
+ *  - exact:     one hash-shuffle on the content key
+ *  - minhash:   shingle → k minhashes → band buckets → bucket-local join →
+ *               exact Jaccard verify (never an all-pairs cross join)
+ *  - simhash:   64-bit signature; near-dups via banded chunks + hamming verify
+ *  - n-gram Jaccard: exact verified similarity for candidate pairs
+ *  - embedding: cosine near-dup via hyperplane LSH buckets (SimilarityOps)
+ *
+ * All hashing is the portable TextOps.polyHash so results are independently
+ * reproducible (DuckDB oracle). At 100 TB the only shuffles are (a) the band
+ * bucket exchange, keyed on (band, bandHash) — high cardinality, naturally
+ * balanced; and (b) the pair dedup. Signatures are computed scan-side.
+ */
+object DedupOps {
+
+  val P = TextOps.HashMod
+
+  /** Deterministic affine hash family h_i(x) = (a_i * x + b_i) mod P. */
+  private def affine(i: Int, h: Column): Column =
+    pmod(h * lit(2654435761L % P + 2 * i + 1) + lit(1013904223L + 7919L * i), lit(P))
+
+  /** Exact dedup: keep the first row (min orderCol) per content key.
+    * One shuffle on the key; window avoids a self-join. */
+  def exactDedup(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** k-minhash signature column (array<long>) over word-`n`-gram shingles. */
+  def minhashSignature(text: Column, n: Int, k: Int): Column = {
+    val hs = TextOps.shingleHashes(text, n)
+    array((0 until k).map(i => array_min(transform(hs, h => affine(i, h)))): _*)
+  }
+
+  /** Explode a signature into (band_id, band_hash) rows: `bands` bands of
+    * `rowsPer` minhashes each, band hash = polynomial fold of the slice. */
+  def bandedSignature(sig: Column, bands: Int, rowsPer: Int): Column =
+    array((0 until bands).map { b =>
+      val bandHash = aggregate(
+        slice(sig, b * rowsPer + 1, rowsPer), lit(0L),
+        (acc, x) => pmod(acc * 31L + x, lit(P)))
+      struct(lit(b).as("band"), bandHash.as("band_hash"))
+    }: _*)
+
+  /**
+   * MinHash+LSH near-duplicate pairs with exact verification.
+   *
+   * Scale shape: signatures are computed in the scan stage; the shuffle is
+   * keyed on (band, band_hash) — millions of small buckets, so the
+   * bucket-local self-join is tiny everywhere (a hot bucket means actually-
+   * identical content, which IS the output). Candidates are then verified
+   * with exact Jaccard over the shingle-hash sets, so false positives from
+   * banding never escape; recall is the standard 1-(1-s^r)^b curve.
+   *
+   * Returns (id_a, id_b, inter_size, union_size) with id_a < id_b,
+   * inter/union as exact ints (jaccard = inter/union, left to the caller to
+   * avoid float comparisons).
+   */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2, k: Int = 8, bands: Int = 4,
+                      minJaccardPct: Int = 60): DataFrame = {
+    val rowsPer = k / bands
+    val sigd = df.select(
+      col(idCol).as("id"),
+      TextOps.shingleHashes(col(textCol), n).as("shingles"),
+      minhashSignature(col(textCol), n, k).as("sig"))
+    val banded = sigd
+      .withColumn("bb", explode(bandedSignature(col("sig"), bands, rowsPer)))
+      .select(col("id"), col("shingles"), col("bb.band"), col("bb.band_hash"))
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("inter_size", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("union_size", size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("inter_size") * 100 >= col("union_size") * minJaccardPct)
+      .select("id_a", "id_b", "inter_size", "union_size")
+  }
+
+  /**
+   * 64-bit SimHash over word hashes: bit j of the signature is the sign of
+   * Σ_words (bit j of xxhash64(word) ? +1 : -1). The 64 bit-vote
+   * aggregations are unrolled at plan-build time (fixed small loop →
+   * codegen'd; Spark lambdas can't drive shift amounts). Near-dup candidates
+   * come from matching any of 4 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒
+   * at least one chunk is equal).
+   */
+  def simhash(text: Column): Column = {
+    val whs = transform(TextOps.words(text), w => xxhash64(w))
+    (0 until 64).map { j =>
+      val votes = aggregate(whs, lit(0L),
+        (v, h) => v + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes >= 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dups: 16-bit chunk banding + hamming verification. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 6): DataFrame = {
+    val sigd = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val chunked = sigd.withColumn("chunk", explode(array((0 until 4).map { c =>
+      struct(lit(c).as("cid"),
+        shiftright(col("sig"), c * 16).bitwiseAND(65535).as("cval"))
+    }: _*)))
+      .select(col("id"), col("sig"), col("chunk.cid"), col("chunk.cval"))
+    val a = chunked.select(col("cid"), col("cval"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("cid"), col("cval"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("cid", "cval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .filter(hamming(col("sig_a"), col("sig_b")) <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).as("hamming"))
+  }
+
+  /**
+   * Exact n-gram Jaccard for all pairs within a blocking key (e.g. lang).
+   * This is the verification primitive — at scale you block first (LSH above
+   * or a cheap key) and never run it all-pairs.
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, n: Int, minJaccardPct: Int): DataFrame = {
+    val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      TextOps.shingleHashes(col(textCol), n).as("sh"))
+    val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter_size", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("union_size", size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("inter_size") * 100 >= col("union_size") * minJaccardPct)
+      .select("blk", "id_a", "id_b", "inter_size", "union_size")
+  }
+}

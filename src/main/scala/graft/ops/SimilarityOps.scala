@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (array<float>).
+ *
+ *  - Brute-force cosine top-k: the correctness baseline. Queries are
+ *    broadcast; the scan side streams once through the corpus —
+ *    BroadcastNestedLoopJoin, no shuffle of the big side; top-k via
+ *    per-query window.
+ *  - LSH-bucketed ANN (random hyperplanes): the scale path. Each vector gets
+ *    a `bits`-bit sign signature from deterministic pseudo-random
+ *    hyperplanes; candidates share a bucket, verified by exact cosine.
+ *    At 100 TB the shuffle is keyed on the signature (2^bits buckets).
+ *  - Embedding near-dup: same buckets, cosine >= threshold pairs.
+ *
+ * Dot products use zip_with + aggregate (codegen'd, no UDF). Double math
+ * throughout — float inputs are upcast once.
+ */
+object SimilarityOps {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact top-k neighbors for each query vector (excluding self-matches by
+   * id). Output: (query_id, neighbor_id, rank). Ties broken by neighbor id
+   * so results are deterministic.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /**
+   * Deterministic pseudo-random hyperplane component for (plane i, dim d):
+   * a fixed integer mix mapped to [-1, 1). No RNG state — reproducible
+   * across engines and runs.
+   */
+  private def planeComponent(i: Int, d: Column): Column = {
+    val mixed = pmod(d * lit(2654435761L + 40503L * i) + lit(97531L * i + 12345L),
+      lit(1000003L))
+    mixed.cast("double") / lit(500001.5) - lit(1.0)
+  }
+
+  /** `bits`-bit hyperplane sign signature. The plane loop is small and
+    * fixed, so it is unrolled at plan-build time into `bits` codegen'd
+    * projections (cleaner than a doubly-nested lambda aggregate). */
+  def lshSignatureUnrolled(vec: Column, bits: Int): Column = {
+    val bitCols = (0 until bits).map { i =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeComponent(i, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Signature for table `tbl` — each table draws a disjoint plane set
+    * (plane indices offset by tbl*bits). */
+  private def tableSignature(vec: Column, bits: Int, tbl: Int): Column = {
+    val bitCols = (0 until bits).map { i =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeComponent(tbl * bits + i, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /**
+   * ANN top-k through multi-table LSH buckets (standard recall amplifier:
+   * L independent tables, candidate = collides in ANY table; recall
+   * 1-(1-p^bits)^L). Exact cosine within buckets, per-query rank. The
+   * shuffle is keyed on (table, signature) — tables*2^bits buckets. Output
+   * matches bruteForceTopK's shape; recall < 1 by design.
+   */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, bits: Int, tables: Int = 4): DataFrame = {
+    val signed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"), tableSignature(col(vecCol), bits, t).as("sig"))): _*))
+        .as("ts"))
+      .select(col("id"), col("v"), col("ts.tbl"), col("ts.sig"))
+    val a = signed.select(col("tbl"), col("sig"), col("id").as("query_id"), col("v").as("qv"))
+    val b = signed.select(col("tbl"), col("sig"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val candidates = a.join(b, Seq("tbl", "sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "qv", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates.withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold),
+    * candidates from LSH buckets, verified by exact cosine. */
+  def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                        bits: Int, minCosine: Double): DataFrame = {
+    val signed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshSignatureUnrolled(col(vecCol), bits).as("sig"))
+    val a = signed.select(col("sig"), col("id").as("id_a"), col("v").as("va"))
+    val b = signed.select(col("sig"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= minCosine)
+      .select("id_a", "id_b", "sim")
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization, quality scoring, language ID, fingerprinting. All pure
+ * Catalyst column functions (whole-stage codegen, no UDFs) so they run at
+ * full scan speed over 100 TB of documents.
+ *
+ * The polynomial rolling hash is deliberately *portable arithmetic*
+ * (acc*31 + codepoint, mod 1e9+7): any engine (DuckDB oracle included) can
+ * reproduce it bit-for-bit, which lets the dedup/minhash pipelines be
+ * verified end-to-end against an independent implementation.
+ */
+object TextOps {
+
+  val HashMod = 1000000007L
+
+  /** Whitespace word tokenization (empty-safe). */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count — the cheap length signal. */
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /**
+   * BPE-ish sub-word token count: splits on word/punct/space boundaries the
+   * way a BPE pre-tokenizer does (letters+digits runs vs single punct).
+   */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
+      t => t =!= "" && t =!= " "))
+
+  /** Portable polynomial rolling hash of a string: fold codepoints with
+    * acc*31+cp mod 1e9+7. Identical in DuckDB via list_reduce. */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(filter(split(s, ""), c => c =!= ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => pmod(acc * 31L + x, lit(HashMod)))
+
+  /** Document fingerprint: rolling hash of the whitespace-normalized text —
+    * equal fingerprints ⇔ equal normalized content (mod collisions). */
+  def fingerprint(text: Column): Column =
+    polyHash(concat_ws(" ", words(text)))
+
+  /** Word n-gram shingles ("a b c", n=2 → ["a b","b c"]). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ws = words(text)
+    transform(sequence(lit(1), greatest(size(ws) - lit(n - 1), lit(0))),
+      i => concat_ws(" ", slice(ws, i, lit(n))))
+  }
+
+  /** Character n-gram shingles. */
+  def charNgrams(text: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(length(text) - lit(n - 1), lit(0))),
+      i => text.substr(i, lit(n)))
+
+  /** Distinct portable hashes of word n-gram shingles — the document's
+    * shingle set for minhash / Jaccard. */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(wordNgrams(text, n), polyHash(_)))
+
+  // --- quality scoring -----------------------------------------------------
+
+  /** Small multilingual stopword lists for the heuristic signals. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "dans", "que"),
+    "es" -> Seq("el", "la", "y", "los", "las", "un", "una", "es", "en", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "人"))
+
+  private def stopwordHits(text: Column, lang: String): Column =
+    size(array_intersect(array_distinct(words(text)),
+      array(Stopwords(lang).map(lit): _*)))
+
+  /**
+   * Quality signals as integer columns (ratios scaled ×1000 so they are
+   * exact and oracle-comparable): length, word count, mean word length,
+   * punctuation count, distinct-word ratio, English stopword hits.
+   */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    df.withColumn("n_chars2", length(t).cast("long"))
+      .withColumn("n_words", size(ws).cast("long"))
+      .withColumn("mean_word_len_x1000",
+        floor(length(concat_ws("", ws)) * lit(1000L) / size(ws)).cast("long"))
+      .withColumn("n_punct",
+        (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("long"))
+      .withColumn("distinct_ratio_x1000",
+        floor(size(array_distinct(ws)) * lit(1000L) / size(ws)).cast("long"))
+      .withColumn("stopword_hits", stopwordHits(t, "en").cast("long"))
+  }
+
+  /**
+   * Language ID by stopword voting: distinct-word overlap with each
+   * language's stopword list; argmax with deterministic tie-break on the
+   * fixed language order (en, de, fr, es, zh). `greatest`-free formulation:
+   * scores packed as score*8 + langIdx so max() picks the winner and the
+   * HIGHER index wins ties — mirrored exactly in the DuckDB oracle.
+   */
+  val LangOrder: Seq[String] = Seq("en", "de", "fr", "es", "zh")
+
+  def langId(text: Column): Column = {
+    val packed = LangOrder.zipWithIndex.map { case (l, i) =>
+      stopwordHits(text, l).cast("long") * 8L + lit(i.toLong)
+    }
+    val best = greatest(packed: _*)
+    element_at(array(LangOrder.map(lit): _*), (pmod(best, lit(8L)) + 1).cast("int"))
+  }
+}

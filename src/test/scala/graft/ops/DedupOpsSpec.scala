@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class DedupOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("exactDedup keeps exactly one row per key, the first by order") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "y"), (5L, "z"))
+      .toDF("id", "k")
+    val got = DedupOps.exactDedup(df, Seq("k"), "id")
+      .select("id").as[Long].collect().sorted
+    assert(got === Array(1L, 3L, 5L))
+  }
+
+  test("minhash LSH pairs are a subset of exact Jaccard pairs (zero false positives)") {
+    val exact = DedupOps.ngramJaccardPairs(
+        docs.withColumn("blk", lit(1)), "doc_id", "text", "blk", 2, 60)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.minhashNearDups(docs, "doc_id", "text",
+        n = 2, k = 8, bands = 4, minJaccardPct = 60)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh -- exact}")
+    info(s"recall = ${if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size} " +
+      s"(${lsh.size}/${exact.size})")
+  }
+
+  test("minhash LSH finds all exact duplicates (J=100 pairs always collide)") {
+    val dup = docs.limit(20)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val both = docs.limit(20).select("doc_id", "text").unionByName(dup)
+    val got = DedupOps.minhashNearDups(both, "doc_id", "text",
+        n = 2, k = 8, bands = 4, minJaccardPct = 100)
+      .filter(col("inter_size") === col("union_size"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = docs.limit(20).select("doc_id").as[Long].collect()
+      .map(i => (i, i + 100000)).toSet
+    assert(expected.subsetOf(got))
+  }
+
+  test("simhash: identical texts have distance 0; signature is 64-bit stable") {
+    val df = Seq("the quick brown fox", "the quick brown fox", "totally different words here")
+      .toDF("text")
+    val sigs = df.select(DedupOps.simhash(col("text"))).as[Long].collect()
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0) !== sigs(2))
+  }
+
+  test("simhashNearDups surfaces duplicated docs at hamming 0") {
+    val dup = docs.limit(10)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val both = docs.limit(10).select("doc_id", "text").unionByName(dup)
+    val got = DedupOps.simhashNearDups(both, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = docs.limit(10).select("doc_id").as[Long].collect()
+      .map(i => (i, i + 100000)).toSet
+    assert(expected.subsetOf(got))
+  }
+
+  test("ngramJaccardPairs: verified counts are exact set sizes") {
+    val df = Seq((1L, "a b c d", "g"), (2L, "a b c e", "g"), (3L, "x y z w", "g"))
+      .toDF("doc_id", "text", "lang")
+    val got = DedupOps.ngramJaccardPairs(df, "doc_id", "text", "lang", 2, 30)
+      .select("id_a", "id_b", "inter_size", "union_size")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    // doc1 bigrams {a b, b c, c d}, doc2 {a b, b c, c e}: inter 2, union 4
+    assert(got === Set((1L, 2L, 2, 4)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class SimilarityOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("cosine basics: self=1, orthogonal=0") {
+    val df = Seq(
+      (Seq(1f, 0f, 2f), Seq(1f, 0f, 2f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)))
+      .toDF("a", "b")
+      .select(SimilarityOps.cosine(col("a"), col("b")).as("c")).as[Double].collect()
+    assert(math.abs(df(0) - 1.0) < 1e-12)
+    assert(math.abs(df(1)) < 1e-12)
+  }
+
+  test("bruteForceTopK matches a driver-side exact computation") {
+    val sample = emb.limit(50).select(col("vec_id"), col("embedding")).cache()
+    val rows = sample.as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = rows.flatMap { case (qid, qv) =>
+      rows.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, s) => (-s, nid) }
+        .take(3).zipWithIndex
+        .map { case ((nid, _), r) => (qid, nid, r + 1) }
+    }.toSet
+    val got = SimilarityOps.bruteForceTopK(sample, sample, "vec_id", "embedding", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("brute-force plan broadcasts the query side (no shuffle of corpus)") {
+    val plan = SimilarityOps.bruteForceTopK(emb, emb.limit(5), "vec_id", "embedding", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+  }
+
+  test("lshTopK returns a subset of true neighbors' shape with decent recall") {
+    val brute = SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "embedding", 1)
+      .filter(col("rank") === 1).as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2)).toMap
+    val ann = SimilarityOps.lshTopK(emb, "vec_id", "embedding", 1, bits = 4, tables = 8)
+      .filter(col("rank") === 1).as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2)).toMap
+    val hits = ann.count { case (q, n) => brute.get(q).contains(n) }
+    val recall = hits.toDouble / brute.size
+    info(s"ANN top-1 recall at 4 bits x 8 tables: $recall (${hits}/${brute.size})")
+    assert(recall > 0.5, s"recall $recall suspiciously low")
+    // every ANN answer must be a real vector pair, never self
+    assert(ann.forall { case (q, n) => q != n })
+  }
+
+  test("embeddingNearDups: injected duplicates are found with sim=1") {
+    val dup = emb.limit(10).select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val both = emb.limit(10).select("vec_id", "embedding").unionByName(dup)
+    val got = SimilarityOps.embeddingNearDups(both, "vec_id", "embedding",
+        bits = 8, minCosine = 0.9999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = emb.limit(10).select("vec_id").as[Long].collect()
+      .map(i => (i, i + 100000)).toSet
+    assert(expected.subsetOf(got),
+      s"missing ${expected -- got} (identical vectors share every LSH bucket)")
+  }
+}

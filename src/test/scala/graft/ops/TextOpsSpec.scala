@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  def refPolyHash(s: String): Long =
+    s.codePoints().toArray.foldLeft(0L)((acc, c) => (acc * 31 + c) % TextOps.HashMod)
+
+  test("polyHash matches the reference fold, incl. unicode") {
+    val samples = Seq("", "a", "abc", "hello world", "中文测试", "中a文b", "ÄÖÜ")
+    val got = samples.toDF("s").select(TextOps.polyHash(col("s")).as("h"))
+      .as[Long].collect()
+    assert(got.toSeq === samples.map(refPolyHash))
+  }
+
+  test("tokenCount and bpeish count behave on edge cases") {
+    val df = Seq("one two  three", " lead trail ", "", "a,b.c!d", "solo")
+      .toDF("t")
+      .select(TextOps.tokenCount(col("t")).as("wc"),
+              TextOps.bpeishTokenCount(col("t")).as("bc"))
+      .as[(Int, Int)].collect()
+    assert(df(0) === ((3, 3)))
+    assert(df(1)._1 === 2)
+    assert(df(3)._1 === 1)      // no whitespace → 1 word
+    assert(df(3)._2 === 7)      // a , b . c ! d
+    assert(df(4) === ((1, 1)))
+  }
+
+  test("fingerprint: equal normalized content ⇔ equal fingerprint") {
+    val df = Seq("a b c", "a  b   c", " a b c ", "a b d")
+      .toDF("t").select(TextOps.fingerprint(col("t")).as("f")).as[Long].collect()
+    assert(df(0) === df(1) && df(1) === df(2))
+    assert(df(0) !== df(3))
+  }
+
+  test("wordNgrams / charNgrams produce the expected shingles") {
+    val (wg, cg) = Seq(("a b c d"))
+      .toDF("t")
+      .select(TextOps.wordNgrams(col("t"), 2).as("w"),
+              TextOps.charNgrams(lit("abcd"), 3).as("c"))
+      .as[(Seq[String], Seq[String])].head()
+    assert(wg === Seq("a b", "b c", "c d"))
+    assert(cg === Seq("abc", "bcd"))
+  }
+
+  test("langId is deterministic and votes by stopwords") {
+    val got = Seq(
+      "the cat of the house and a dog",   // en
+      "der hund und die katze ist nicht", // de
+      "le chat et la maison les deux",    // fr
+      "的 是 了 在 人 有")                 // zh
+      .toDF("t").select(TextOps.langId(col("t"))).as[String].collect()
+    assert(got === Array("en", "de", "fr", "zh"))
+  }
+
+  test("qualityScore emits exact integer signals") {
+    val row = TextOps.qualityScore(Seq("the the cat sat!").toDF("text"))
+      .select("n_chars2", "n_words", "distinct_ratio_x1000", "n_punct", "stopword_hits")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(row._1 === 16L)
+    assert(row._2 === 4L)
+    assert(row._3 === 750L)  // 3 distinct of 4
+    assert(row._4 === 1L)    // "!"
+    assert(row._5 === 1L)    // "the"
+  }
+}
