@@ -1,24 +1,129 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+import graft.ops._
+
+/**
+ * Benchmark harness. Prints ONE JSON line:
+ *   {"metric":"routed_rows_per_sec","value":N,"unit":"rows/sec",
+ *    "queries":{...per-query seconds...},"sf":...,
+ *    "scaling":{"cores_lo":8,"rows_per_sec_lo":...,"cores_hi":32,
+ *               "rows_per_sec_hi":...,"efficiency":...}}
+ *
+ * The headline metric is the north-rule target: routed rows/sec of the
+ * flagship parse → filter → route → aggregate pipeline over the tokenized
+ * sequences table at the SF of SPARK_GRAFT_SF_DIR. Scaling evidence (the
+ * sandbox substitute for N vs 4N executors — BASELINE.md) runs the same
+ * compute at local[N/4] and local[N] in fresh sessions and reports
+ * efficiency = (thr_hi / thr_lo) / 4.
+ */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The pipeline's compute core (no sink I/O): parse → filter → route →
+    * per-sink aggregate; count() forces every row through codegen. */
+  private def pipelineCompute(spark: SparkSession, n: Long, parts: Int): Long = {
+    val seqs = DataGen.sequences(spark, n, parts)
+    Pipeline.routedRecords(seqs, DataGen.routingRules)
+      .groupBy("content_type", "operation").agg(count(lit(1)))
+      .collect().map(_.getLong(2)).sum
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nRows = DataGen.rowsForSf(sfDir)
+
+    val spark = session(cpus)
+
+    // warm the JVM/codegen once at small scale
+    pipelineCompute(spark, 10000L, cpus)
+
+    // ---- headline: full pipeline with sink writes ----------------------
+    val outDir = java.nio.file.Files.createTempDirectory("bench_pipe").toString
+    var routed = 0L
+    val tPipeline = time {
+      routed = Pipeline.run(spark, DataGen.sequences(spark, nRows, cpus * 2),
+        outDir).stats.rowsRouted
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- per-op timings over the sf tables ------------------------------
+    def t(name: String) = spark.read.parquet(s"$sfDir/$name.parquet")
+    val queries = scala.collection.mutable.LinkedHashMap[String, Double]()
+    queries("pipeline_full") = tPipeline
+    queries("pipeline_compute") = time(pipelineCompute(spark, nRows, cpus * 2))
+    queries("dedup_minhash_lsh") = time {
+      DedupOps.minhashNearDups(t("documents"), "doc_id", "text", 2, 8, 4, 60).count()
+    }
+    queries("dedup_simhash") = time {
+      DedupOps.simhashNearDups(t("documents"), "doc_id", "text", 3).count()
+    }
+    queries("ann_brute_top1") = time {
+      val e = t("embeddings")
+      SimilarityOps.bruteForceTopK(e, e, "vec_id", "embedding", 1).count()
+    }
+    queries("ann_lsh_top1") = time {
+      SimilarityOps.lshTopK(t("embeddings"), "vec_id", "embedding", 1, 4, 8).count()
+    }
+    queries("text_analysis") = time {
+      TextOps.qualityScore(t("documents"))
+        .select(col("doc_id"), TextOps.langId(col("text")),
+          TextOps.fingerprint(col("text")), col("n_words"))
+        .count()
+    }
+    queries("tpch_agg") = time {
+      t("lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity"), count(lit(1))).count()
+    }
+    queries("tpch_join") = time {
+      val c = t("customer"); val o = t("orders")
+      o.join(c, c("c_custkey") === o("o_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1))).count()
+    }
     spark.stop()
+
+    // ---- scaling probe: identical compute at N/4 and N cores -----------
+    val lo = math.max(1, cpus / 4)
+    val sLo = session(lo)
+    pipelineCompute(sLo, 10000L, lo) // warm
+    val tLo = time(pipelineCompute(sLo, nRows, lo * 2))
+    sLo.stop()
+    val sHi = session(cpus)
+    pipelineCompute(sHi, 10000L, cpus) // warm
+    val tHi = time(pipelineCompute(sHi, nRows, cpus * 2))
+    sHi.stop()
+    val thrLo = nRows / tLo
+    val thrHi = nRows / tHi
+    val eff = (thrHi / thrLo) / (cpus.toDouble / lo)
+
+    val rowsPerSec = routed / tPipeline
+    val qs = queries.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"routed_rows_per_sec","value":${"%.1f".format(rowsPerSec)},""" +
+      s""""unit":"rows/sec","queries":$qs,"sf":"$sfDir","rows":$nRows,""" +
+      s""""routed":$routed,"scaling":{"cores_lo":$lo,"rows_per_sec_lo":${"%.1f".format(thrLo)},""" +
+      s""""cores_hi":$cpus,"rows_per_sec_hi":${"%.1f".format(thrHi)},""" +
+      s""""efficiency":${"%.3f".format(eff)}}}""")
   }
 }

@@ -1,0 +1,214 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Hot-loop helpers invoked from generated code (one static call per row,
+ * plain JVM loops inside — no per-element Catalyst interpretation).
+ *
+ * Semantics are bit-identical to the built-in higher-order-function
+ * formulations in TextOps/DedupOps/SimilarityOps (pinned by
+ * FunctionsSpec): the same polynomial fold over code points, the same
+ * affine minhash family, the same left-fold double arithmetic for dot
+ * products — so the DuckDB oracles keep matching.
+ */
+object Hashing {
+
+  val P = 1000000007L
+
+  /** Rolling hash over Unicode code points: acc*31 + cp, mod P.
+    * ≡ TextOps.polyHash (aggregate over split chars). */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Whitespace words of a string, Java-regex `\s+` semantics with trim —
+    * identical to split(trim(text), "\\s+"). */
+  private def wordsOf(s: UTF8String): Array[String] = {
+    val t = s.toString.trim
+    if (t.isEmpty) Array("") else t.split("\\s+")
+  }
+
+  private def polyHashStr(str: String): Long = {
+    var acc = 0L
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Distinct poly hashes of word n-gram shingles, first-occurrence order.
+    * ≡ TextOps.shingleHashes. */
+  def shingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val ws = wordsOf(s)
+    val count = math.max(ws.length - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](count * 2)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n && i + j < ws.length) {
+        if (j > 0) sb.append(' ')
+        sb.append(ws(i + j))
+        j += 1
+      }
+      seen.add(polyHashStr(sb.toString))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Affine hash family — must match DedupOps.affine. */
+  @inline private def affineA(i: Int): Long = 2654435761L % P + 2L * i + 1L
+  @inline private def affineB(i: Int): Long = 1013904223L + 7919L * i
+
+  /** k-minhash signature computed in one fused pass over the shingles.
+    * ≡ DedupOps.minhashSignature. */
+  def minhashSig(s: UTF8String, n: Int, k: Int): ArrayData = {
+    val sh = shingleHashes(s, n)
+    val mins = Array.fill(k)(Long.MaxValue)
+    val m = sh.numElements()
+    var i = 0
+    while (i < m) {
+      val h = sh.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (h * affineA(j) + affineB(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit simhash over xxhash64(word, seed=42) bit votes.
+    * ≡ DedupOps.simhash (sign of per-bit vote sums). */
+  def simhash64(s: UTF8String): Long = {
+    val ws = wordsOf(s)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < ws.length) {
+      val h = XxHash64Function.hash(UTF8String.fromString(ws(i)), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** Left-fold dot product in double — identical fold order (i = 0..n-1)
+    * to aggregate(zip_with(...)), so results are bit-equal. Arrays are
+    * float32 (`isFloat=true`) or float64 elements. */
+  def dotF(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    if (isFloat) {
+      while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    } else {
+      while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    }
+    acc
+  }
+
+  /** Cosine similarity via three left-fold reductions (dot, |a|², |b|²). */
+  def cosineF(a: ArrayData, b: ArrayData, isFloat: Boolean): Double =
+    dotF(a, b, isFloat) / (math.sqrt(dotF(a, a, isFloat)) * math.sqrt(dotF(b, b, isFloat)))
+
+  /** Fused token-array generation for the synthetic sequences table —
+    * bit-identical to the HOF formulation in DataGen
+    * (`transform(sequence(...), j -> pmod(xxhash64(id, j), V))`, which
+    * chains xxhash64 as hashInt(j, hashLong(id, 42))). One hashLong per
+    * row + one hashInt per token instead of interpreted lambdas. */
+  def genTokens(id: Long, vocab: Int): ArrayData = {
+    val hId = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L)
+    val len = (16L + java.lang.Math.floorMod(hId, 241L)).toInt
+    val out = new Array[Int](len)
+    var j = 0
+    while (j < len) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(j, hId)
+      out(j) = java.lang.Math.floorMod(h, vocab.toLong).toInt
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Compact JSON encoding of an int array — identical bytes to
+    * to_json(array<int>) ("[1,2,3]", no whitespace). */
+  def intArrayJson(a: ArrayData): UTF8String = {
+    val n = a.numElements()
+    val sb = new java.lang.StringBuilder(n * 6 + 2)
+    sb.append('[')
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      sb.append(a.getInt(i))
+      i += 1
+    }
+    sb.append(']')
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Hyperplane sign signature, fused over all `bits` planes in one pass.
+    * Plane component ≡ SimilarityOps.planeComponent: a deterministic integer
+    * mix of (plane index, dimension) mapped to [-1, 1). Fold order per plane
+    * is d = 0..n-1, matching the HOF aggregate(zip_with(...)). */
+  def lshSignature(v: ArrayData, isFloat: Boolean, bits: Int, offset: Int): Long = {
+    val n = v.numElements()
+    val proj = new Array[Double](bits)
+    var i = 0
+    while (i < bits) {
+      val p = offset + i
+      val mulA = 2654435761L + 40503L * p
+      val addB = 97531L * p + 12345L
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val mixed = (d * mulA + addB) % 1000003L
+        val plane = mixed.toDouble / 500001.5 - 1.0
+        val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+        acc += x * plane
+        d += 1
+      }
+      proj(i) = acc
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (proj(j) >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}

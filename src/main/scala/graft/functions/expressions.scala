@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.graftglue.ColumnGlue
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/**
+ * Custom Catalyst expressions for the hot loops that Spark's higher-order
+ * functions (`transform`/`aggregate`/`zip_with`) evaluate interpretively.
+ * Each generates a single static call into [[Hashing]] — whole-stage
+ * codegen keeps the surrounding operators fused and the inner loop is
+ * plain JVM code (measured ~20-100x over the HOF formulation; see
+ * BASELINE.md). Semantics are identical to the HOF versions, pinned by
+ * FunctionsSpec equality tests.
+ */
+case class PolyHashExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Hashing.polyHash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.polyHash($c)")
+  override protected def withNewChildInternal(c: Expression): PolyHashExpr = copy(c)
+}
+
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Hashing.shingleHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr =
+    copy(child = c)
+}
+
+case class MinHashSigExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Hashing.minhashSig(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.minhashSig($c, $n, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+    copy(child = c)
+}
+
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Hashing.simhash64(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(c)
+}
+
+/** Base for float/double array pair reductions. */
+abstract class ArrayPairReduction extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  protected def isFloatArray: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects two array<float> or two array<double>, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+  }
+}
+
+case class DotProductExpr(left: Expression, right: Expression)
+    extends ArrayPairReduction {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.dotF(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloatArray)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Hashing.dotF($a, $b, $isFloatArray)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends ArrayPairReduction {
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.cosineF(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloatArray)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Hashing.cosineF($a, $b, $isFloatArray)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class LshSignatureExpr(child: Expression, bits: Int, offset: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  private def isFloatArray: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(v: Any): Any =
+    Hashing.lshSignature(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloatArray, bits, offset)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Hashing.lshSignature($c, $isFloatArray, $bits, $offset)")
+  override protected def withNewChildInternal(c: Expression): LshSignatureExpr =
+    copy(child = c)
+}
+
+case class GenTokensExpr(child: Expression, vocab: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Hashing.genTokens(v.asInstanceOf[Long], vocab)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.genTokens($c, $vocab)")
+  override protected def withNewChildInternal(c: Expression): GenTokensExpr =
+    copy(child = c)
+}
+
+case class IntArrayJsonExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    Hashing.intArrayJson(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.intArrayJson($c)")
+  override protected def withNewChildInternal(c: Expression): IntArrayJsonExpr =
+    copy(child = c)
+}
+
+/** Column-API surface for the custom expressions. */
+object GraftFunctions {
+  private def c(e: Expression): Column = ColumnGlue.column(e)
+  def poly_hash(s: Column): Column = c(PolyHashExpr(ColumnGlue.expression(s)))
+  def shingle_hashes(s: Column, n: Int): Column = c(ShingleHashesExpr(ColumnGlue.expression(s), n))
+  def minhash_sig(s: Column, n: Int, k: Int): Column = c(MinHashSigExpr(ColumnGlue.expression(s), n, k))
+  def simhash64(s: Column): Column = c(SimHash64Expr(ColumnGlue.expression(s)))
+  def gen_tokens(id: Column, vocab: Int): Column =
+    c(GenTokensExpr(ColumnGlue.expression(id), vocab))
+  def int_array_json(a: Column): Column =
+    c(IntArrayJsonExpr(ColumnGlue.expression(a)))
+  def lsh_signature(v: Column, bits: Int, offset: Int = 0): Column =
+    c(LshSignatureExpr(ColumnGlue.expression(v), bits, offset))
+  def dot_product(a: Column, b: Column): Column = c(DotProductExpr(ColumnGlue.expression(a), ColumnGlue.expression(b)))
+  def cosine_sim(a: Column, b: Column): Column = c(CosineSimExpr(ColumnGlue.expression(a), ColumnGlue.expression(b)))
+}

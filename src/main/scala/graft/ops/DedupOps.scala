@@ -36,7 +36,9 @@ object DedupOps {
       .drop("__rn")
   }
 
-  /** k-minhash signature column (array<long>) over word-`n`-gram shingles. */
+  /** k-minhash signature column (array<long>) over word-`n`-gram shingles.
+    * HOF formulation — kept as the semantic reference; the pipelines use
+    * the fused codegen expression (FunctionsSpec pins equality). */
   def minhashSignature(text: Column, n: Int, k: Int): Column = {
     val hs = TextOps.shingleHashes(text, n)
     array((0 until k).map(i => array_min(transform(hs, h => affine(i, h)))): _*)
@@ -72,8 +74,8 @@ object DedupOps {
     val rowsPer = k / bands
     val sigd = df.select(
       col(idCol).as("id"),
-      TextOps.shingleHashes(col(textCol), n).as("shingles"),
-      minhashSignature(col(textCol), n, k).as("sig"))
+      graft.functions.GraftFunctions.shingle_hashes(col(textCol), n).as("shingles"),
+      graft.functions.GraftFunctions.minhash_sig(col(textCol), n, k).as("sig"))
     val banded = sigd
       .withColumn("bb", explode(bandedSignature(col("sig"), bands, rowsPer)))
       .select(col("id"), col("shingles"), col("bb.band"), col("bb.band_hash"))
@@ -113,7 +115,8 @@ object DedupOps {
   /** SimHash near-dups: 16-bit chunk banding + hamming verification. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 6): DataFrame = {
-    val sigd = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val sigd = df.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.simhash64(col(textCol)).as("sig"))
     val chunked = sigd.withColumn("chunk", explode(array((0 until 4).map { c =>
       struct(lit(c).as("cid"),
         shiftright(col("sig"), c * 16).bitwiseAND(65535).as("cval"))
@@ -137,7 +140,7 @@ object DedupOps {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, minJaccardPct: Int): DataFrame = {
     val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      TextOps.shingleHashes(col(textCol), n).as("sh"))
+      graft.functions.GraftFunctions.shingle_hashes(col(textCol), n).as("sh"))
     val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk"))

@@ -22,6 +22,8 @@ import org.apache.spark.sql.functions._
  */
 object SimilarityOps {
 
+  /** HOF formulations — the semantic reference (FunctionsSpec pins the
+    * codegen expressions to these bit-for-bit). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -29,6 +31,10 @@ object SimilarityOps {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Codegen'd cosine — used by every hot path below. */
+  private def cosineFast(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_sim(a, b)
 
   /**
    * Exact top-k neighbors for each query vector (excluding self-matches by
@@ -40,7 +46,7 @@ object SimilarityOps {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosineFast(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -73,17 +79,10 @@ object SimilarityOps {
   }
 
   /** Signature for table `tbl` — each table draws a disjoint plane set
-    * (plane indices offset by tbl*bits). */
-  private def tableSignature(vec: Column, bits: Int, tbl: Int): Column = {
-    val bitCols = (0 until bits).map { i =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") * planeComponent(tbl * bits + i, d)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }
-    bitCols.reduce(_ + _)
-  }
+    * (plane indices offset by tbl*bits). Codegen'd fused expression;
+    * FunctionsSpec pins equality to lshSignatureUnrolled. */
+  private def tableSignature(vec: Column, bits: Int, tbl: Int): Column =
+    graft.functions.GraftFunctions.lsh_signature(vec, bits, tbl * bits)
 
   /**
    * ANN top-k through multi-table LSH buckets (standard recall amplifier:
@@ -105,7 +104,7 @@ object SimilarityOps {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "qv", "cv")
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = candidates.withColumn("sim", cosine(col("qv"), col("cv")))
+    val scored = candidates.withColumn("sim", cosineFast(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -117,12 +116,12 @@ object SimilarityOps {
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                         bits: Int, minCosine: Double): DataFrame = {
     val signed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshSignatureUnrolled(col(vecCol), bits).as("sig"))
+      graft.functions.GraftFunctions.lsh_signature(col(vecCol), bits).as("sig"))
     val a = signed.select(col("sig"), col("id").as("id_a"), col("v").as("va"))
     val b = signed.select(col("sig"), col("id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("sig"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", cosineFast(col("va"), col("vb")))
       .filter(col("sim") >= minCosine)
       .select("id_a", "id_b", "sim")
   }

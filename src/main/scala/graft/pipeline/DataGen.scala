@@ -40,6 +40,20 @@ object DataGen {
    */
   def sequences(spark: SparkSession, n: Long, numPartitions: Int = 0): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
+    spark.range(0, n, 1, parts)
+      .withColumn("tokens", graft.functions.GraftFunctions.gen_tokens(col("id"), Vocab))
+      .withColumn("doc_id", format_string("doc-%012d", col("id")))
+      .withColumn("n_tok", size(col("tokens")))
+      .withColumn("source",
+        element_at(array(lit("wal"), lit("api"), lit("export")),
+          (pmod(xxhash64(col("id"), lit(7)), lit(3)) + lit(1)).cast("int")))
+      .select("doc_id", "tokens", "n_tok", "source")
+  }
+
+  /** HOF reference formulation of the token generator — semantic spec for
+    * gen_tokens (DataGenSpec pins bit-equality). */
+  def sequencesHof(spark: SparkSession, n: Long, numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
     val ids = spark.range(0, n, 1, parts)
     val len = (lit(16) + pmod(xxhash64(col("id")), lit(241))).cast("int")
     ids

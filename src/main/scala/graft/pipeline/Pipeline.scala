@@ -68,20 +68,32 @@ object Pipeline {
     val quarantine = Route.quarantined(filteredCached)
     val cached = Route.routed(filteredCached)
     try {
-      val salted = Route.saltedForWrite(cached, cfg.saltBuckets)
-      Sinks.write(Sinks.fileCsvShape(salted), s"$outDir/file_csv", Seq("content_type"))
-      Sinks.write(Sinks.graylogShape(cached), s"$outDir/graylog")
-      Sinks.write(Sinks.fluentdShape(cached, cfg.tenant), s"$outDir/fluentd")
-      Sinks.write(Sinks.logAnalyticsShape(cached), s"$outDir/log_analytics", Seq("log_type"))
-      Sinks.write(Sinks.prtgShape(cached), s"$outDir/prtg")
-      Sinks.write(Sinks.routedChecksum(cached), s"$outDir/checksums")
-      Sinks.write(quarantine, s"$outDir/quarantine")
+      // Materialize the shared cache once (otherwise the first concurrent
+      // sink job would build it while the others wait on cache locks).
+      cached.count()
 
+      // Fan out the sink writes as CONCURRENT jobs — the reference's
+      // interfaces all consume the same batch in parallel
+      // (src/collector.rs:215-226); Spark's scheduler interleaves the jobs
+      // over the shared cache, overlapping I/O and compute.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val salted = Route.saltedForWrite(cached, cfg.saltBuckets)
       // Per-partition lineage metrics (north rule): rows routed per task.
       val partMetrics = cached.groupBy(spark_partition_id().as("partition_id"))
         .agg(count(lit(1)).as("rows"))
         .select(lit("routed").as("stage"), col("partition_id"), col("rows"))
-      Sinks.write(partMetrics, s"$outDir/metrics")
+      val writes = Seq(
+        () => Sinks.write(Sinks.fileCsvShape(salted), s"$outDir/file_csv", Seq("content_type")),
+        () => Sinks.write(Sinks.graylogShape(cached), s"$outDir/graylog"),
+        () => Sinks.write(Sinks.fluentdShape(cached, cfg.tenant), s"$outDir/fluentd"),
+        () => Sinks.write(Sinks.logAnalyticsShape(cached), s"$outDir/log_analytics", Seq("log_type")),
+        () => Sinks.write(Sinks.prtgShape(cached), s"$outDir/prtg"),
+        () => Sinks.write(Sinks.routedChecksum(cached), s"$outDir/checksums"),
+        () => Sinks.write(quarantine, s"$outDir/quarantine"),
+        () => Sinks.write(partMetrics, s"$outDir/metrics"))
+      Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
 
       // State commit strictly AFTER all sink writes (resume contract).
       // The reference marks every RECEIVED blob known, including rows the

@@ -27,7 +27,9 @@ object Sinks {
    * arrays; the JSON round-trips losslessly for the token-equality check).
    */
   def fileCsvShape(df: DataFrame): DataFrame = {
-    val flat = df.withColumn("tokens", to_json(col("tokens")))
+    // int_array_json ≡ to_json(array<int>) byte-for-byte, but codegen'd
+    val flat = df.withColumn("tokens",
+      graft.functions.GraftFunctions.int_array_json(col("tokens")))
     val ordered = flat.columns.sorted.map(col)
     flat.select(ordered: _*).na.fill("")
   }

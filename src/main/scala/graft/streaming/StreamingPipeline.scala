@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.pipeline._
+
+/**
+ * Structured Streaming face of the pipeline (SURVEY.md §2.8).
+ *
+ * The reference micro-batches with a 500k-row cache flush and dedups
+ * against `known_blobs` (ST1/ST2, src/collector.rs:188-191,
+ * src/data_structures.rs:26-33). Here:
+ *
+ *  - `readStream.parquet` over the sequences directory is the unbounded
+ *    source (new files = new micro-batches; at scale this is a streaming
+ *    table read / Kafka topic).
+ *  - `foreachBatch` runs the SAME batch core per micro-batch: anti-join
+ *    dedup vs the snapshot state store, parse, filter, route, append to
+ *    sinks, then commit state — so batch and streaming share one code path
+ *    and one exactly-once contract (state committed after the sink write;
+ *    re-delivery absorbed by the anti-join, ST4).
+ *  - `Trigger.AvailableNow` drains everything available and stops — the
+ *    reference's bounded "collect run" semantics with resumability.
+ *  - `maxFilesPerTrigger` bounds micro-batch size (the cacheSize analog,
+ *    ST5 backpressure).
+ */
+object StreamingPipeline {
+
+  /** Run one AvailableNow drain over `inputDir`. Returns rows routed. */
+  def runAvailableNow(spark: SparkSession, inputDir: String, outDir: String,
+                      cfg: Pipeline.Config = Pipeline.Config(),
+                      maxFilesPerTrigger: Int = 4): Long = {
+    val state = new StateStore(s"$outDir/state")
+    val routedTotal = new java.util.concurrent.atomic.AtomicLong(0)
+
+    val stream = spark.readStream
+      .schema(Schemas.sequences)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fresh = state.dedup(batch, state.load(spark, cfg.nowEpochSec))
+        val routed = Pipeline.routedRecords(fresh, cfg.rules)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          routed.write.mode("append").parquet(s"$outDir/routed")
+          Sinks.prtgShape(routed)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$outDir/prtg_batches")
+          routedTotal.addAndGet(routed.count())
+          // commit all received ids (filtered rows included — reference
+          // semantics, src/collector.rs:161) strictly after the writes
+          state.commit(spark, fresh.select("doc_id"), "doc_id",
+            cfg.expirationEpochSec, cfg.nowEpochSec)
+          ()
+        } finally routed.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+    routedTotal.get()
+  }
+
+  /**
+   * Event-time tumbling-window counts with a watermark (ST3/ST4): 24h
+   * collection windows over CreationTime, 168h late-data horizon —
+   * the reference's look-back re-scan bound (src/config.rs:34-37).
+   * Append-mode windowed aggregation; results land once a window closes.
+   */
+  def windowedCounts(spark: SparkSession, inputDir: String, outDir: String,
+                     watermark: String = "168 hours"): Unit = {
+    val parsed = Parse.deriveFields(
+      spark.readStream.schema(Schemas.sequences).parquet(inputDir))
+      .withColumn("event_time",
+        to_timestamp(col("CreationTime"), "yyyy-MM-dd'T'HH:mm:ss"))
+    val agg = parsed
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "24 hours"), col("content_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("content_type"), col("cnt"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$outDir/_checkpoint_win")
+      .format("parquet")
+      .option("path", s"$outDir/windowed")
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming-native dedup alternative (ST2): drop duplicate doc_ids
+    * within the watermark horizon using Spark's built-in streaming state —
+    * demonstrates the `dropDuplicatesWithinWatermark` path where the
+    * snapshot state store is not wanted. */
+  def streamingDedupCounts(spark: SparkSession, inputDir: String, outDir: String): Unit = {
+    val parsed = Parse.deriveFields(
+      spark.readStream.schema(Schemas.sequences).parquet(inputDir))
+      .withColumn("event_time",
+        to_timestamp(col("CreationTime"), "yyyy-MM-dd'T'HH:mm:ss"))
+      .withWatermark("event_time", "168 hours")
+      .dropDuplicatesWithinWatermark("doc_id")
+    val q = parsed
+      .groupBy(col("content_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$outDir/_checkpoint_dd")
+      .format("memory")
+      .queryName("dedup_counts")
+      .start()
+    q.awaitTermination()
+  }
+}

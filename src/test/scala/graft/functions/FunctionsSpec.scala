@@ -1,0 +1,101 @@
+package graft.functions
+
+import graft.SparkSuite
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+import GraftFunctions._
+
+/** Pins the custom codegen expressions to the built-in higher-order-function
+  * formulations — bit-identical results, so the DuckDB oracles hold for
+  * either implementation. */
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("poly_hash ≡ TextOps.polyHash (HOF) on all documents + unicode edges") {
+    val edge = Seq("", "a", "中文 test", " spaced  out ").toDF("text")
+    for (df <- Seq(docs.select("text"), edge)) {
+      val diff = df.select(
+        poly_hash(col("text")).as("a"),
+        TextOps.polyHash(col("text")).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff === 0)
+    }
+  }
+
+  test("shingle_hashes ≡ TextOps.shingleHashes") {
+    val diff = docs.select(
+      shingle_hashes(col("text"), 2).as("a"),
+      TextOps.shingleHashes(col("text"), 2).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("minhash_sig ≡ DedupOps.minhashSignature") {
+    val diff = docs.select(
+      minhash_sig(col("text"), 2, 8).as("a"),
+      DedupOps.minhashSignature(col("text"), 2, 8).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("simhash64 ≡ DedupOps.simhash") {
+    val diff = docs.select(
+      simhash64(col("text")).as("a"),
+      DedupOps.simhash(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("dot/cosine ≡ HOF zip_with+aggregate, bit-exact on float arrays") {
+    val pairs = emb.limit(40).select(col("embedding").as("a"))
+      .crossJoin(emb.limit(40).select(col("embedding").as("b")))
+    val diff = pairs.select(
+      dot_product(col("a"), col("b")).as("d1"),
+      SimilarityOps.dot(col("a"), col("b")).as("d2"),
+      cosine_sim(col("a"), col("b")).as("c1"),
+      SimilarityOps.cosine(col("a"), col("b")).as("c2"))
+      .filter(col("d1") =!= col("d2") || col("c1") =!= col("c2")).count()
+    assert(diff === 0)
+  }
+
+  test("lsh_signature ≡ SimilarityOps.lshSignatureUnrolled (HOF)") {
+    val diff = emb.select(
+      GraftFunctions.lsh_signature(col("embedding"), 8).as("a"),
+      SimilarityOps.lshSignatureUnrolled(col("embedding"), 8).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+    // different offsets draw different plane sets
+    val same = emb.select(
+      GraftFunctions.lsh_signature(col("embedding"), 8, 0).as("a"),
+      GraftFunctions.lsh_signature(col("embedding"), 8, 8).as("b"))
+      .filter(col("a") === col("b")).count()
+    assert(same < emb.count())
+  }
+
+  test("gen_tokens ≡ HOF datagen (bit-identical synthetic corpus)") {
+    val a = graft.pipeline.DataGen.sequences(spark, 500L, 4)
+    val b = graft.pipeline.DataGen.sequencesHof(spark, 500L, 4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("int_array_json ≡ to_json(array<int>) byte-for-byte") {
+    val df = graft.pipeline.DataGen.sequences(spark, 200L, 2)
+    val diff = df.select(
+      int_array_json(col("tokens")).as("a"),
+      to_json(col("tokens")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+    val empty = Seq(Seq.empty[Int]).toDF("t")
+      .select(int_array_json(col("t"))).as[String].head()
+    assert(empty === "[]")
+  }
+
+  test("custom expressions participate in whole-stage codegen") {
+    val plan = docs.select(poly_hash(col("text"))).queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into WholeStageCodegen
+    assert(plan.contains("*(1) Project"), s"plan:\n$plan")
+  }
+}

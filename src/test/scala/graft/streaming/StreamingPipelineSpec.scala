@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+class StreamingPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def writeBatch(dir: String, from: Long, to: Long): Unit =
+    DataGen.sequences(spark, to, 2).filter(
+      col("doc_id") >= format_string("doc-%012d", lit(from)))
+      .write.mode("append").parquet(dir)
+
+  test("AvailableNow drain: micro-batches route exactly the batch-mode rows") {
+    val in = tmpDir("stream_in"); val out = tmpDir("stream_out")
+    writeBatch(in, 0, 1500)
+    val routed = StreamingPipeline.runAvailableNow(spark, in, out,
+      maxFilesPerTrigger = 1)
+    val expected = Pipeline.routedRecords(
+      DataGen.sequences(spark, 1500L, 2), DataGen.routingRules)
+    assert(routed === expected.count())
+    val got = spark.read.parquet(s"$out/routed")
+    assert(got.count() === expected.count())
+    // token arrays intact through the streaming path
+    val a = expected.select("doc_id", "tokens")
+    val b = got.select("doc_id", "tokens")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("second drain over new + old files emits only the new rows (ST2/ST4)") {
+    val in = tmpDir("stream_in2"); val out = tmpDir("stream_out2")
+    writeBatch(in, 0, 1000)
+    val r1 = StreamingPipeline.runAvailableNow(spark, in, out)
+    // late/re-delivered data: a new file containing rows 500..2000 overlaps
+    writeBatch(in, 500, 2000)
+    val r2 = StreamingPipeline.runAvailableNow(spark, in, out)
+    val freshAll = Pipeline.routedRecords(
+      DataGen.sequences(spark, 2000L, 2), DataGen.routingRules).count()
+    assert(r1 + r2 === freshAll, "overlap must be absorbed by dedup")
+    // no doc_id appears twice in the routed output
+    val dups = spark.read.parquet(s"$out/routed")
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(dups === 0)
+  }
+
+  test("windowed counts with watermark match the batch 24h window split") {
+    val in = tmpDir("stream_in3"); val out = tmpDir("stream_out3")
+    writeBatch(in, 0, 2000)
+    // 1h watermark for the test so most windows close during the drain;
+    // append mode only emits windows whose end <= final watermark
+    StreamingPipeline.windowedCounts(spark, in, out, watermark = "1 hour")
+    val got = spark.read.parquet(s"$out/windowed")
+      .groupBy("window_start", "content_type").agg(sum("cnt").as("cnt"))
+    val all = Parse.deriveFields(DataGen.sequences(spark, 2000L, 2))
+      .withColumn("event_time", to_timestamp(col("CreationTime"), "yyyy-MM-dd'T'HH:mm:ss"))
+    val maxEvent = all.agg(max(col("event_time").cast("long"))).as[Long].head()
+    val watermarkTs = maxEvent - 3600
+    val expected = all
+      .groupBy(window(col("event_time"), "24 hours").as("w"), col("content_type"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .filter(col("w.end").cast("long") <= watermarkTs)
+      .select(col("w.start").as("window_start"), col("content_type"), col("cnt"))
+    assert(expected.count() > 0)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups a doubled stream") {
+    val in = tmpDir("stream_in4"); val out = tmpDir("stream_out4")
+    writeBatch(in, 0, 800)
+    writeBatch(in, 0, 800) // duplicate file
+    StreamingPipeline.streamingDedupCounts(spark, in, out)
+    val got = spark.table("dedup_counts").agg(sum("cnt")).as[Long].head()
+    assert(got === 800L)
+  }
+}
