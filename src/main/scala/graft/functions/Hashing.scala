@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
@@ -75,7 +76,7 @@ object Hashing {
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Affine hash family — must match DedupOps.affine. */
@@ -99,7 +100,7 @@ object Hashing {
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
   /** 64-bit simhash over xxhash64(word, seed=42) bit votes.
@@ -160,7 +161,7 @@ object Hashing {
       out(j) = java.lang.Math.floorMod(h, vocab.toLong).toInt
       j += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Compact JSON encoding of an int array — identical bytes to

@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Real CSV file sink with the reference's two modes
+ * (src/interfaces/file_interface.rs):
+ *
+ *  - unified (S4): one CSV, columns = union of all record keys, missing
+ *    values padded "" (:64-86, fill_log :138-148)
+ *  - separated (S5): one CSV per content type, file named
+ *    `{yyyyMMddHHmmss}_{stem}_{ContentTypeWithoutDots}.csv` next to the
+ *    configured path (:34-56); empty types skipped (:92-94)
+ *
+ * Spark writes a DIRECTORY of part files per logical CSV — the
+ * distributed-engine equivalent of the reference's single file (coalesce
+ * to taste; at 100 TB one file per type is exactly what you don't want).
+ * Column order is deterministic (sorted) where the reference's was
+ * first-seen map order (SURVEY.md §2.6 O3 — an improvement, pinned here).
+ */
+object CsvSink {
+
+  private def flatten(df: DataFrame): DataFrame = {
+    val flat = df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType if f.name == "tokens" =>
+          acc.withColumn(f.name, graft.functions.GraftFunctions.int_array_json(col(f.name)))
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.MapType =>
+          acc.withColumn(f.name, to_json(col(f.name)))
+        case _ => acc
+      }
+    }
+    val ordered = flat.columns.sorted.map(col)
+    flat.select(ordered: _*).na.fill("")
+  }
+
+  /** Unified mode: all content types, one CSV directory. */
+  def writeUnified(df: DataFrame, path: String, separator: String = ","): Unit =
+    flatten(df).write.mode("overwrite")
+      .option("header", "true").option("sep", separator)
+      .csv(path)
+
+  /**
+   * Separated mode: one CSV directory per content type present, named with
+   * the reference's postfix scheme. `configuredPath` plays the role of the
+   * config's output.file.path ("output.csv" → stem "output").
+   */
+  def writeSeparated(df: DataFrame, configuredPath: String, separator: String = ",",
+                     postfix: String = timestampPostfix()): Seq[String] = {
+    val p = java.nio.file.Paths.get(configuredPath)
+    val dir = Option(p.getParent).map(_.toString).getOrElse(".")
+    val stem = p.getFileName.toString.stripSuffix(".csv")
+    val present = df.select("content_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    present.map { ct =>
+      val path = s"$dir/${postfix}_${stem}_${ct.replace(".", "")}.csv"
+      writeUnified(df.filter(col("content_type") === ct), path, separator)
+      path
+    }.toSeq
+  }
+
+  def timestampPostfix(): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+
+  /** Read back a CSV directory written by this sink (header on). */
+  def read(spark: SparkSession, path: String, separator: String = ","): DataFrame =
+    spark.read.option("header", "true").option("sep", separator).csv(path)
+}

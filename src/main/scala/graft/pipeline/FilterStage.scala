@@ -29,11 +29,16 @@ import org.apache.spark.sql.functions._
  */
 object FilterStage {
 
-  /** Case-sensitive rule-key → column resolution; a rule whose key is not a
-    * column at all behaves as "record missing key" → passes (matches the
-    * reference: a key absent from the record map passes). */
+  /** Rule-key → column resolution: exact match first, then
+    * case-insensitive (the reference's API payloads use capitalized keys
+    * like `Operation` — Release/ConfigExamples/filter.yaml — while our
+    * derived schema is lower-case). A rule whose key is not a column at
+    * all behaves as "record missing key" → passes (matches the reference:
+    * a key absent from the record map passes). */
   private def colFor(df: DataFrame, key: String): Option[Column] =
-    df.columns.find(_ == key).map(col)
+    df.columns.find(_ == key)
+      .orElse(df.columns.find(_.equalsIgnoreCase(key)))
+      .map(col)
 
   def predicate(df: DataFrame, rules: Seq[RoutingRule]): Column = {
     val byType = rules.groupBy(_.content_type)

@@ -30,16 +30,24 @@ object Pipeline {
     saltBuckets: Int = 8,
     tenant: String = "MyTenant",
     skipKnownLogs: Boolean = true,
+    enabledTypes: Seq[String] = Schemas.ContentTypes,
+    duplicate: Int = 1,
     nowEpochSec: Long = Parse.BaseEpoch + Parse.SpanSeconds,
     expirationEpochSec: Long = Parse.BaseEpoch + 30L * 24 * 3600)
 
   case class Result(stats: RunStats, snapshot: Option[Int])
 
   /** The transform core, sink-agnostic: sequences → routed records.
-    * Pure function, unit-testable without I/O. */
-  def routedRecords(sequences: DataFrame, rules: Seq[RoutingRule]): DataFrame = {
+    * Pure function, unit-testable without I/O. `enabledTypes` mirrors the
+    * reference's per-type subscriptions (src/config.rs:149-182): rows of
+    * disabled types never enter the pipeline. */
+  def routedRecords(sequences: DataFrame, rules: Seq[RoutingRule],
+                    enabledTypes: Seq[String] = Schemas.ContentTypes): DataFrame = {
     val parsed = Parse.deriveFields(sequences)
-    val filtered = FilterStage.applyStatic(parsed, rules)
+    val subscribed =
+      if (enabledTypes == Schemas.ContentTypes) parsed
+      else parsed.filter(col("content_type").isin(enabledTypes: _*))
+    val filtered = FilterStage.applyStatic(subscribed, rules)
     Route.routed(filtered)
   }
 
@@ -59,8 +67,21 @@ object Pipeline {
         state.dedup(sequences, state.load(spark, cfg.nowEpochSec))
       else sequences
 
-    val parsed = Parse.deriveFields(fresh)
-    val filtered = FilterStage.applyStatic(parsed, cfg.rules)
+    // Row multiplier for load testing (reference `duplicate`,
+    // src/api_connection.rs:356-368) — applied AFTER dedup, like the
+    // reference (known check precedes the duplicate enqueue), and only to
+    // the processing branch (state still commits each id once).
+    val inflated =
+      if (cfg.duplicate > 1)
+        fresh.withColumn("__dup", explode(array_repeat(lit(1), cfg.duplicate)))
+          .drop("__dup")
+      else fresh
+
+    val parsed = Parse.deriveFields(inflated)
+    val subscribed =
+      if (cfg.enabledTypes == Schemas.ContentTypes) parsed
+      else parsed.filter(col("content_type").isin(cfg.enabledTypes: _*))
+    val filtered = FilterStage.applyStatic(subscribed, cfg.rules)
 
     // One materialization feeds all sinks + quarantine (the reference clones
     // the batch per interface, src/collector.rs:215-226; we persist once).
@@ -114,7 +135,9 @@ object Pipeline {
       val stats = RunStats(
         rowsIn = rowsIn,
         rowsDeduped = rowsIn - rowsFresh,
-        rowsDroppedByFilter = rowsFresh - rowsFiltered,
+        // dropped-by-filter includes rows of non-subscribed content types
+        // (reference: unsubscribed feeds are never fetched at all)
+        rowsDroppedByFilter = rowsFresh * cfg.duplicate - rowsFiltered,
         rowsQuarantined = rowsFiltered - rowsRouted,
         rowsRouted = rowsRouted)
       Result(stats, Some(snap))

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Physical-plan hygiene: the properties that make the pipeline survive a
+  * 100x scale-up — pushdown into the scan, column pruning, broadcast of
+  * dimension tables, no unnecessary shuffles. */
+class PlanSpec extends SparkSuite {
+
+  val sf = "/root/testdata/sf0.01"
+
+  test("filters are pushed down into the parquet scan") {
+    val plan = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 40.0)
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)"),
+      s"plan:\n$plan")
+  }
+
+  test("column pruning reaches the scan (ReadSchema only has used columns)") {
+    val plan = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag").agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_returnflag:string>"), s"plan:\n$plan")
+  }
+
+  test("rules-style small join broadcasts; big sides never shuffle for it") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+    val plan = c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+  }
+
+  test("pipeline compute plan: static filter folds into scan stage, no shuffle before agg") {
+    val routed = Pipeline.routedRecords(
+      DataGen.sequences(spark, 1000L, 4), DataGen.routingRules)
+    val agg = routed.groupBy("content_type").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    // exactly one exchange: the final aggregation shuffle (partial agg first)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"map-side partial aggregation expected:\n$plan")
+    // no join anywhere — rules are constant-folded into the filter
+    assert(!plan.contains("Join"), s"plan:\n$plan")
+  }
+
+  test("dedup anti-join uses broadcast while state is small") {
+    val out = tmpDir("plan_state")
+    val st = new StateStore(s"$out/state")
+    import spark.implicits._
+    st.commit(spark, Seq("doc-1", "doc-2").toDF("doc_id"), "doc_id",
+      Parse.BaseEpoch + 9999, Parse.BaseEpoch)
+    val fresh = st.dedup(DataGen.sequences(spark, 1000L, 4),
+      st.load(spark, Parse.BaseEpoch))
+    val plan = fresh.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"plan:\n$plan")
+  }
+
+  test("minhash LSH: signatures computed before the band-bucket exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ops.DedupOps.minhashNearDups(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the candidate join is keyed on (band, band_hash) — never on raw text;
+    // Catalyst may broadcast at this tiny size (shuffled join at scale)
+    assert(plan.matches("(?s).*Join \\[band#\\d+, band_hash#\\d+L?\\].*"),
+      s"plan:\n$plan")
+  }
+}
