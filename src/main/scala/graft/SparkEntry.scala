@@ -261,6 +261,46 @@ object SparkEntry {
         .select("id_a", "id_b").orderBy("id_a", "id_b")
     }),
 
+    // ---- further built-in coverage (SURVEY §2.4 A8, §2.5, §2.7) ---------
+    "q_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)),
+
+    "q_window_rolling" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, 0)
+      t(s, d, "events")
+        .withColumn("rolling_sum", sum("event_id").over(w))
+        .select("event_id", "rolling_sum").orderBy("event_id")
+    }),
+
+    "q_mask_secret" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          Monitor.maskSecret(col("c_name"), 5).as("masked"))
+        .orderBy("c_custkey")),
+
+    "q_approx_distinct" -> ((s, d) =>
+      // HLL sketch (A8) — engine-specific estimate, rows-only check;
+      // ApproxSpec asserts the estimate is within 5% of exact
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")),
+
+    "q_pipeline_prtg" -> ((s, d) => {
+      // flagship pipeline over the synthesized sequences table at the SF of
+      // `d` — PRTG sensor counts per (content_type, operation); rows-only
+      val n = math.min(DataGen.rowsForSf(d), 100000L)
+      Pipeline.routedRecords(DataGen.sequences(s, n), DataGen.routingRules)
+        .groupBy("content_type", "operation").agg(count(lit(1)).as("cnt"))
+        .orderBy("content_type", "operation")
+    }),
+
     "q_media_decode" -> ((s, d) => {
       // multimodal plumbing — synthetic binary, stubbed decode; rows-only
       val media = Multimodal.syntheticMedia(s, 1000L, 8)
@@ -454,6 +494,20 @@ object SparkEntry {
          WHERE list_reduce(list_prepend(0.0, list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i])), (acc,x) -> acc+x) /
            (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.e)+1), i -> a.e[i]*a.e[i])), (acc,x) -> acc+x)) *
             sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(b.e)+1), i -> b.e[i]*b.e[i])), (acc,x) -> acc+x))) >= 0.9999
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "q_window_rolling" ->
+      """SELECT event_id,
+           CAST(sum(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_sum
+         FROM events ORDER BY event_id""",
+    "q_mask_secret" ->
+      """SELECT c_custkey,
+           CASE WHEN length(c_name) <= 5 THEN c_name
+                ELSE repeat('*', 8) || right(c_name, 5) END AS masked
+         FROM customer ORDER BY c_custkey"""
   )
 }
