@@ -48,4 +48,23 @@ object Windows {
   def withWindow(df: DataFrame, tsCol: String): DataFrame =
     df.withColumn("window_start",
       window(to_timestamp(col(tsCol), "yyyy-MM-dd'T'HH:mm:ss"), "24 hours")("start"))
+
+  /** Write a table partitioned by its 24h window date — the layout that
+    * makes run-plan scans prune at the source (SURVEY.md §4.2: partition
+    * pruning replaces the reference's per-window URL construction). */
+  def writePartitionedByWindow(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("window_date",
+      date_format(to_timestamp(col(tsCol), "yyyy-MM-dd'T'HH:mm:ss"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("window_date").parquet(path)
+
+  /** Read back only the windows in [startEpochSec, endEpochSec) — the
+    * partition filter prunes non-matching window directories at planning
+    * time (asserted in PlanSpec). */
+  def readWindow(spark: SparkSession, path: String,
+                 startEpochSec: Long, endEpochSec: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("window_date") >=
+        date_format(timestamp_seconds(lit(startEpochSec)), "yyyy-MM-dd") &&
+        col("window_date") <
+        date_format(timestamp_seconds(lit(endEpochSec)), "yyyy-MM-dd"))
 }
