@@ -292,6 +292,20 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")),
 
+    "q_graylog_timestamp" -> ((s, d) =>
+      // P3: the Graylog enrich — parse + reformat to millisecond precision
+      t(s, d, "events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSS").as("timestamp"))
+        .orderBy("event_id")),
+
+    "q_median" -> ((s, d) =>
+      // exact percentile (not the approx sketch) per group
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(floor(expr("percentile(l_quantity, 0.5)")).cast("long").as("median_qty"))
+        .orderBy("l_returnflag")),
+
     "q_pipeline_prtg" -> ((s, d) => {
       // flagship pipeline over the synthesized sequences table at the SF of
       // `d` — PRTG sensor counts per (content_type, operation); rows-only
@@ -504,6 +518,13 @@ object SparkEntry {
            CAST(sum(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_sum
          FROM events ORDER BY event_id""",
+    "q_graylog_timestamp" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS timestamp
+         FROM events ORDER BY event_id""",
+    "q_median" ->
+      """SELECT l_returnflag,
+           CAST(floor(quantile_cont(l_quantity, 0.5)) AS BIGINT) AS median_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_mask_secret" ->
       """SELECT c_custkey,
            CASE WHEN length(c_name) <= 5 THEN c_name

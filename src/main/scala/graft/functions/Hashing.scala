@@ -180,6 +180,75 @@ object Hashing {
     UTF8String.fromString(sb.toString)
   }
 
+  /** JSON-escape a string value into the builder (RFC 8259: quote,
+    * backslash, and control chars; matches Jackson's default escaping used
+    * by to_json). */
+  private def appendJsonString(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  /**
+   * Compact JSON object from an InternalRow — byte-identical to
+   * to_json(struct(...)) for the supported field types (string, int, long,
+   * boolean, double, array<int>); null fields are OMITTED, matching
+   * Jackson/to_json default. Field names and order come from `names`
+   * (comma-separated) and `kinds` (one char per field: s/i/l/b/d/A).
+   */
+  def rowJson(row: org.apache.spark.sql.catalyst.InternalRow,
+              names: String, kinds: String): UTF8String = {
+    val ns = names.split(',')
+    val sb = new java.lang.StringBuilder(ns.length * 24)
+    sb.append('{')
+    var first = true
+    var i = 0
+    while (i < ns.length) {
+      if (!row.isNullAt(i)) {
+        if (!first) sb.append(',')
+        first = false
+        appendJsonString(sb, ns(i))
+        sb.append(':')
+        kinds.charAt(i) match {
+          case 's' => appendJsonString(sb, row.getUTF8String(i).toString)
+          case 'i' => sb.append(row.getInt(i))
+          case 'l' => sb.append(row.getLong(i))
+          case 'b' => sb.append(row.getBoolean(i))
+          case 'd' => sb.append(row.getDouble(i))
+          case 'A' =>
+            val a = row.getArray(i)
+            val n = a.numElements()
+            sb.append('[')
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(',')
+              sb.append(a.getInt(j))
+              j += 1
+            }
+            sb.append(']')
+        }
+      }
+      i += 1
+    }
+    sb.append('}')
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Hyperplane sign signature, fused over all `bits` planes in one pass.
     * Plane component ≡ SimilarityOps.planeComponent: a deterministic integer
     * mix of (plane index, dimension) mapped to [-1, 1). Fold order per plane

@@ -141,6 +141,45 @@ case class IntArrayJsonExpr(child: Expression)
     copy(child = c)
 }
 
+/**
+ * Codegen'd full-row JSON serialization, ≡ to_json(struct(fields))
+ * byte-for-byte on the supported field types (string, int, long, boolean,
+ * double, array<int>; null fields omitted). Falls back is the caller's job:
+ * use `GraftFunctions.row_json` only when `supports(schema)`.
+ */
+case class RowJsonExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  private lazy val fields = child.dataType.asInstanceOf[StructType].fields
+  private lazy val names = fields.map(_.name).mkString(",")
+  private lazy val kinds = fields.map(f => RowJsonExpr.kindOf(f.dataType)).mkString
+  override def nullSafeEval(v: Any): Any =
+    Hashing.rowJson(v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow],
+      names, kinds)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val namesRef = ctx.addReferenceObj("names", names, "java.lang.String")
+    val kindsRef = ctx.addReferenceObj("kinds", kinds, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Hashing.rowJson($c, $namesRef, $kindsRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): RowJsonExpr =
+    copy(child = c)
+}
+
+object RowJsonExpr {
+  private def kindOf(dt: DataType): Char = dt match {
+    case StringType => 's'
+    case IntegerType => 'i'
+    case LongType => 'l'
+    case BooleanType => 'b'
+    case DoubleType => 'd'
+    case ArrayType(IntegerType, _) => 'A'
+    case other => throw new IllegalArgumentException(s"unsupported: $other")
+  }
+  def supports(schema: StructType): Boolean =
+    schema.fields.forall(f => scala.util.Try(kindOf(f.dataType)).isSuccess)
+}
+
 /** Column-API surface for the custom expressions. */
 object GraftFunctions {
   private def c(e: Expression): Column = ColumnGlue.column(e)
@@ -148,6 +187,8 @@ object GraftFunctions {
   def shingle_hashes(s: Column, n: Int): Column = c(ShingleHashesExpr(ColumnGlue.expression(s), n))
   def minhash_sig(s: Column, n: Int, k: Int): Column = c(MinHashSigExpr(ColumnGlue.expression(s), n, k))
   def simhash64(s: Column): Column = c(SimHash64Expr(ColumnGlue.expression(s)))
+  def row_json(structCol: Column): Column =
+    c(RowJsonExpr(ColumnGlue.expression(structCol)))
   def gen_tokens(id: Column, vocab: Int): Column =
     c(GenTokensExpr(ColumnGlue.expression(id), vocab))
   def int_array_json(a: Column): Column =

@@ -63,11 +63,20 @@ object Sinks {
    * content_type with '.' → '_'; body = the record as one JSON string;
    * records missing CreationTime are skipped (:69-72).
    */
-  def logAnalyticsShape(df: DataFrame): DataFrame =
+  def logAnalyticsShape(df: DataFrame): DataFrame = {
+    // row_json ≡ to_json byte-for-byte on the supported types but codegen'd
+    // (to_json is CodegenFallback); fall back for exotic schemas
+    val record = struct(df.columns.map(col): _*)
+    val body =
+      if (graft.functions.RowJsonExpr.supports(
+        org.apache.spark.sql.types.StructType(df.schema.fields)))
+        graft.functions.GraftFunctions.row_json(record)
+      else to_json(record)
     df.filter(col("CreationTime").isNotNull)
       .select(
         translate(col("content_type"), ".", "_").as("log_type"),
-        to_json(struct(df.columns.map(col): _*)).as("body"))
+        body.as("body"))
+  }
 
   /**
    * PRTG-sensor-shaped aggregate (SURVEY.md §2.4 A8): per-channel counts.

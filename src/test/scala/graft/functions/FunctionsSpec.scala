@@ -93,6 +93,26 @@ class FunctionsSpec extends SparkSuite {
     assert(empty === "[]")
   }
 
+  test("row_json ≡ to_json(struct) byte-for-byte incl. nulls and escapes") {
+    // pipeline schema: strings + ints + array<int> + nullable Policy
+    val routed = graft.pipeline.Pipeline.routedRecords(
+      graft.pipeline.DataGen.sequences(spark, 300L, 2),
+      graft.pipeline.DataGen.routingRules)
+    val rec = struct(routed.columns.map(col): _*)
+    val diff = routed.select(
+      GraftFunctions.row_json(rec).as("a"), to_json(rec).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+    // escaping edge cases
+    val edge = Seq(("a\"b\\c", 1), ("tab\there\nnl", 2), (null, 3))
+      .toDF("s", "i")
+    val rec2 = struct(col("s"), col("i"))
+    val diff2 = edge.select(
+      GraftFunctions.row_json(rec2).as("a"), to_json(rec2).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff2 === 0)
+  }
+
   test("custom expressions participate in whole-stage codegen") {
     val plan = docs.select(poly_hash(col("text"))).queryExecution.executedPlan.toString
     // the "*(n)" prefix marks operators fused into WholeStageCodegen
