@@ -77,7 +77,12 @@ object Pipeline {
           .drop("__dup")
       else fresh
 
+    // Stamp the emitting task's partition id BEFORE the filter so the
+    // parsed/filtered/dropped per-partition metrics share one lineage
+    // (north-rule per-partition lineage; the filter is narrow so the id is
+    // exactly the task that parsed the row).
     val parsed = Parse.deriveFields(inflated)
+      .withColumn("__pid", spark_partition_id())
     val subscribed =
       if (cfg.enabledTypes == Schemas.ContentTypes) parsed
       else parsed.filter(col("content_type").isin(cfg.enabledTypes: _*))
@@ -86,8 +91,10 @@ object Pipeline {
     // One materialization feeds all sinks + quarantine (the reference clones
     // the batch per interface, src/collector.rs:215-226; we persist once).
     val filteredCached = filtered.persist(StorageLevel.MEMORY_AND_DISK)
-    val quarantine = Route.quarantined(filteredCached)
-    val cached = Route.routed(filteredCached)
+    val quarantineP = Route.quarantined(filteredCached)
+    val routedP = Route.routed(filteredCached)
+    val quarantine = quarantineP.drop("__pid")
+    val cached = routedP.drop("__pid")
     try {
       // Materialize the shared cache once (otherwise the first concurrent
       // sink job would build it while the others wait on cache locks).
@@ -101,10 +108,26 @@ object Pipeline {
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
       val salted = Route.saltedForWrite(cached, cfg.saltBuckets)
-      // Per-partition lineage metrics (north rule): rows routed per task.
-      val partMetrics = cached.groupBy(spark_partition_id().as("partition_id"))
-        .agg(count(lit(1)).as("rows"))
-        .select(lit("routed").as("stage"), col("partition_id"), col("rows"))
+      // Per-partition lineage metrics (north rule): rows parsed / routed /
+      // quarantined per emitting task, plus dropped-by-filter derived per
+      // partition — all keyed on the __pid stamped before the filter, so
+      // every stage shares one partition lineage.
+      def perPartition(df: DataFrame, stage: String) =
+        df.groupBy(col("__pid").as("partition_id"))
+          .agg(count(lit(1)).as("rows"))
+          .select(lit(stage).as("stage"), col("partition_id"), col("rows"))
+      val parsedPerPart = perPartition(parsed, "parsed")
+      val filteredPerPart = perPartition(filteredCached, "filtered")
+      val droppedPerPart = parsedPerPart.select(col("partition_id"), col("rows").as("p_rows"))
+        .join(filteredPerPart.select(col("partition_id"), col("rows").as("f_rows")),
+          Seq("partition_id"), "left_outer")
+        .select(lit("dropped_by_filter").as("stage"), col("partition_id"),
+          (col("p_rows") - coalesce(col("f_rows"), lit(0L))).as("rows"))
+      val partMetrics = perPartition(routedP, "routed")
+        .unionByName(filteredPerPart)
+        .unionByName(parsedPerPart)
+        .unionByName(droppedPerPart)
+        .unionByName(perPartition(quarantineP, "quarantined"))
       val writes = Seq(
         () => Sinks.write(Sinks.fileCsvShape(salted), s"$outDir/file_csv", Seq("content_type")),
         () => Sinks.write(Sinks.graylogShape(cached), s"$outDir/graylog"),

@@ -39,9 +39,13 @@ class StateStore(val dir: String) {
 
   private def snapshotPath(n: Int) = s"$dir/snapshot-$n"
 
+  /** Statically-empty relation (LocalRelation, not an RDD): Catalyst's
+    * PropagateEmptyRelation then eliminates the dedup anti-join entirely on
+    * a first run — an emptyRDD-backed relation has unknown stats and would
+    * force a full shuffle join of the input against nothing. */
   private def emptyState(spark: SparkSession): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.knownContent)
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      Schemas.knownContent)
 
   /** All live delta paths as of the current snapshot. */
   private def livePaths: Seq[String] =

@@ -31,9 +31,15 @@ class PipelineSpec extends SparkSuite {
     val prtg = spark.read.parquet(s"$out/prtg")
     assert(prtg.agg(sum("cnt")).as[Long].head() === st.rowsRouted)
 
-    // per-partition metrics sum to routed rows (lineage)
+    // per-partition metrics (north rule): per-stage sums reconcile
     val metrics = spark.read.parquet(s"$out/metrics")
-    assert(metrics.agg(sum("rows")).as[Long].head() === st.rowsRouted)
+    def stageSum(s: String) = metrics.filter(col("stage") === s)
+      .agg(coalesce(sum("rows"), lit(0L))).as[Long].head()
+    assert(stageSum("routed") === st.rowsRouted)
+    assert(stageSum("parsed") === st.rowsIn - st.rowsDeduped)
+    assert(stageSum("dropped_by_filter") === st.rowsDroppedByFilter)
+    assert(stageSum("quarantined") === st.rowsQuarantined)
+    assert(stageSum("filtered") === stageSum("routed") + stageSum("quarantined"))
   }
 
   test("token arrays survive end to end (north-rule invariant) incl. CSV round-trip") {
