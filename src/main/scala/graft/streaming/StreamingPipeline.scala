@@ -91,6 +91,57 @@ object StreamingPipeline {
     q.awaitTermination()
   }
 
+  /**
+   * Custom stateful dedup with TTL via flatMapGroupsWithState — the exact
+   * `known_blobs` semantics (id → expiration; expired ids re-admitted,
+   * src/config.rs:92-106) expressed in Spark's keyed state API. Each key
+   * (doc_id) keeps one expiration; a row is emitted only when no live
+   * state exists; the state times out after `ttl`, after which the id is
+   * re-admitted (the reference's load-time expiry filter).
+   */
+  def statefulDedup(sequences: org.apache.spark.sql.Dataset[SequenceRow],
+                    ttlMillis: Long = 30L * 24 * 3600 * 1000)
+      : org.apache.spark.sql.Dataset[SequenceRow] = {
+    import sequences.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    sequences
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Long, SequenceRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        // state value = expiration epoch-millis, checked on access — the
+        // reference's load-time expiry (src/config.rs:92-106). NoTimeout:
+        // ProcessingTimeTimeout keeps an AvailableNow drain alive waiting
+        // for wall-clock timeouts; expired entries are instead overwritten
+        // in place on re-arrival. (Production long-running streams would
+        // add EventTimeTimeout + watermark to also GC the state.)
+        (_: String, rows: Iterator[SequenceRow], state: GroupState[Long]) =>
+          val now = state.getCurrentProcessingTimeMs()
+          if (state.exists && state.get > now) {
+            Iterator.empty // known and unexpired → dedup
+          } else {
+            val first = if (rows.hasNext) Iterator.single(rows.next()) else Iterator.empty
+            state.update(now + ttlMillis)
+            first
+          }
+      }
+  }
+
+  /** Drain `inputDir` through the flatMapGroupsWithState dedup, writing
+    * survivors to `outDir/deduped`. */
+  def runStatefulDedup(spark: SparkSession, inputDir: String, outDir: String): Unit = {
+    import spark.implicits._
+    val in = spark.readStream.schema(Schemas.sequences).parquet(inputDir)
+      .as[SequenceRow]
+    val q = statefulDedup(in).writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$outDir/_checkpoint_fmgs")
+      .format("parquet")
+      .option("path", s"$outDir/deduped")
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming-native dedup alternative (ST2): drop duplicate doc_ids
     * within the watermark horizon using Spark's built-in streaming state —
     * demonstrates the `dropDuplicatesWithinWatermark` path where the

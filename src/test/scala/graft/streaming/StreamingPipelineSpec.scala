@@ -65,6 +65,22 @@ class StreamingPipelineSpec extends SparkSuite {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("flatMapGroupsWithState dedup: duplicates within and across batches collapse") {
+    val in = tmpDir("stream_in5"); val out = tmpDir("stream_out5")
+    writeBatch(in, 0, 600)
+    writeBatch(in, 0, 600)   // duplicate file → cross-batch duplicates
+    StreamingPipeline.runStatefulDedup(spark, in, out)
+    val got = spark.read.parquet(s"$out/deduped")
+    assert(got.count() === 600L)
+    assert(got.select("doc_id").distinct().count() === 600L)
+    // second drain over one more overlapping file: only new ids survive
+    writeBatch(in, 300, 900)
+    StreamingPipeline.runStatefulDedup(spark, in, out)
+    val after = spark.read.parquet(s"$out/deduped")
+    assert(after.count() === 900L)
+    assert(after.select("doc_id").distinct().count() === 900L)
+  }
+
   test("dropDuplicatesWithinWatermark dedups a doubled stream") {
     val in = tmpDir("stream_in4"); val out = tmpDir("stream_out4")
     writeBatch(in, 0, 800)
