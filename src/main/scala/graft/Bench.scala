@@ -89,6 +89,9 @@ object Bench {
     queries("ann_lsh_top1") = time {
       SimilarityOps.lshTopK(t("embeddings"), "vec_id", "embedding", 1, 4, 8).count()
     }
+    queries("ann_ivf_top1") = time {
+      SimilarityOps.ivfTopK(t("embeddings"), "vec_id", "embedding", 1, 16, 4).count()
+    }
     queries("text_analysis") = time {
       TextOps.qualityScore(t("documents"))
         .select(col("doc_id"), TextOps.langId(col("text")),
@@ -114,16 +117,16 @@ object Bench {
     // SMT boundary and cannot scale 4x by construction (BASELINE.md allows
     // local[2] vs local[8] explicitly). Override with SPARK_GRAFT_SCALE_HI.
     val probeRows = math.max(nRows, 4000000L)
-    def best3(f: => Double): Double = Seq(f, f, f).min
+    def best5(f: => Double): Double = Seq.fill(5)(f).min
     val hiProbe = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "8").toInt
     val lo = math.max(1, hiProbe / 4)
     val sLo = session(lo)
     pipelineCompute(sLo, 10000L, lo) // warm
-    val tLo = best3(time(pipelineCompute(sLo, probeRows, lo * 2)))
+    val tLo = best5(time(pipelineCompute(sLo, probeRows, lo * 2)))
     sLo.stop()
     val sHi = session(hiProbe)
     pipelineCompute(sHi, 10000L, hiProbe) // warm
-    val tHi = best3(time(pipelineCompute(sHi, probeRows, hiProbe * 2)))
+    val tHi = best5(time(pipelineCompute(sHi, probeRows, hiProbe * 2)))
     sHi.stop()
     val thrLo = probeRows / tLo
     val thrHi = probeRows / tHi

@@ -239,6 +239,14 @@ object SparkEntry {
           col("union_size").cast("long").as("union_size"))
         .orderBy("blk", "id_a", "id_b")),
 
+    "q_simhash_portable" -> ((s, d) =>
+      // 16-bit portable-arithmetic simhash — DuckDB-verifiable (the 64-bit
+      // production variant uses xxhash64, which DuckDB lacks)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.simhash_poly(col("text"), 16).as("simhash16"))
+        .orderBy("doc_id")),
+
     "q_dedup_simhash" -> ((s, d) => {
       // xxhash64-based — no DuckDB equivalent; rows-only check
       val docs = t(s, d, "documents").select("doc_id", "text")
@@ -325,8 +333,29 @@ object SparkEntry {
     })
   )
 
+  /** DuckDB SQL for the 16-bit portable simhash: bit j of the signature is
+    * the sign of Σ_words ±1 votes on bit j of the affine-mixed poly hash —
+    * the 16 bit terms are generated here. */
+  private def simhashOracleSql: String = {
+    val bitTerms = (0 until 16).map { j =>
+      val div = 1L << j
+      s"""CASE WHEN list_sum(list_transform(hs, x ->
+            CASE WHEN (x // $div) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
+          THEN ${1L << j} ELSE 0 END"""
+    }.mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+        h AS (SELECT doc_id, list_transform(ws, wd ->
+          (list_reduce(list_prepend(0::BIGINT, list_transform(
+             string_split_regex(wd, ''), c -> ascii(c)::BIGINT)),
+             (acc, x) -> (acc * 31 + x) % 1000000007) * 654435748 + 1013904223)
+          % 1000000007) AS hs FROM w)
+        SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash16
+        FROM h ORDER BY doc_id"""
+  }
+
   /** DuckDB-runnable oracles; table names resolve to the same parquet. */
   def oracleSql: Map[String, String] = Map(
+    "q_simhash_portable" -> simhashOracleSql,
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

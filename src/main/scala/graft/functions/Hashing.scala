@@ -127,6 +127,33 @@ object Hashing {
     sig
   }
 
+  /** Portable-arithmetic simhash over affine-mixed poly-hashed words —
+    * every step is integer arithmetic DuckDB reproduces exactly (unlike
+    * the xxhash64 variant). Bit j of the result is the sign of
+    * Σ_words (bit j of ((polyHash(w)*a+b) mod P) ? +1 : -1), bits
+    * limited to [0, 30) since values are < P < 2^30. */
+  def simhashPoly(s: UTF8String, bits: Int): Long = {
+    val ws = wordsOf(s)
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < ws.length) {
+      val h = (polyHashStr(ws(i)) * 654435748L + 1013904223L) % P
+      var j = 0
+      while (j < bits) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
   /** Left-fold dot product in double — identical fold order (i = 0..n-1)
     * to aggregate(zip_with(...)), so results are bit-equal. Arrays are
     * float32 (`isFloat=true`) or float64 elements. */

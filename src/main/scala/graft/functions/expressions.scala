@@ -102,6 +102,17 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+case class SimHashPolyExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Hashing.simhashPoly(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.simhashPoly($c, $bits)")
+  override protected def withNewChildInternal(c: Expression): SimHashPolyExpr =
+    copy(child = c)
+}
+
 case class LshSignatureExpr(child: Expression, bits: Int, offset: Int)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -187,6 +198,8 @@ object GraftFunctions {
   def shingle_hashes(s: Column, n: Int): Column = c(ShingleHashesExpr(ColumnGlue.expression(s), n))
   def minhash_sig(s: Column, n: Int, k: Int): Column = c(MinHashSigExpr(ColumnGlue.expression(s), n, k))
   def simhash64(s: Column): Column = c(SimHash64Expr(ColumnGlue.expression(s)))
+  def simhash_poly(s: Column, bits: Int): Column =
+    c(SimHashPolyExpr(ColumnGlue.expression(s), bits))
   def row_json(structCol: Column): Column =
     c(RowJsonExpr(ColumnGlue.expression(structCol)))
   def gen_tokens(id: Column, vocab: Int): Column =

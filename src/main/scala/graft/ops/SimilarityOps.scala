@@ -111,6 +111,40 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /**
+   * IVF-style ANN top-k: the inverted-file scale path. Each vector is
+   * assigned ("homed") to its nearest of `nCentroids` centroids; a query
+   * probes its `nProbe` nearest centroids and ranks only the vectors homed
+   * there. Centroids here are a deterministic id-ordered sample (a real
+   * deployment would run k-means — the index/probe plumbing is identical);
+   * they are tiny and broadcast, so assignment is a narrow stage and the
+   * only shuffle is the candidate join keyed on centroid id — at 100 TB
+   * that is the partition layout of the inverted file.
+   */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = vecs.orderBy("id").limit(nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    // rank centroids per vector by cosine (broadcast nested loop, narrow)
+    val ranked = vecs.join(broadcast(cents))
+      .withColumn("csim", cosineFast(col("v"), col("cv")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))))
+    val homed = ranked.filter(col("crank") === 1)
+      .select(col("cid"), col("id").as("neighbor_id"), col("v").as("cv2"))
+    val probes = ranked.filter(col("crank") <= nProbe)
+      .select(col("cid"), col("id").as("query_id"), col("v").as("qv"))
+    val scored = probes.join(homed, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("sim", cosineFast(col("qv"), col("cv2")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold),
     * candidates from LSH buckets, verified by exact cosine. */
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,

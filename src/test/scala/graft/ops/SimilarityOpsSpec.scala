@@ -59,6 +59,22 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(ann.forall { case (q, n) => q != n })
   }
 
+  test("ivfTopK: inverted-file probe recalls most true top-1 neighbors") {
+    val brute = SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "embedding", 1)
+      .filter(col("rank") === 1).as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2)).toMap
+    val ivf = SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+        k = 1, nCentroids = 16, nProbe = 4)
+      .filter(col("rank") === 1).as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2)).toMap
+    assert(ivf.size === brute.size, "every vector must get an answer")
+    val hits = ivf.count { case (q, n) => brute.get(q).contains(n) }
+    val recall = hits.toDouble / brute.size
+    info(s"IVF top-1 recall at 16 centroids / 4 probes: $recall")
+    assert(recall > 0.5, s"recall $recall suspiciously low")
+    assert(ivf.forall { case (q, n) => q != n })
+  }
+
   test("embeddingNearDups: injected duplicates are found with sim=1") {
     val dup = emb.limit(10).select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
     val both = emb.limit(10).select("vec_id", "embedding").unionByName(dup)
