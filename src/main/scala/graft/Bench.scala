@@ -24,13 +24,7 @@ object Bench {
   private def session(cores: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+    val s = GraftSession.builder(s"local[$cores]", cores, s"graft-bench-$cores")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -44,6 +44,28 @@ class ResumeAndScaleSpec extends SparkSuite {
     assert(files >= 3, s"dominant type written by only $files task(s) — salt not effective")
   }
 
+  test("salted join ≡ plain join, with the hot key split across salt buckets") {
+    val fact = Pipeline.routedRecords(DataGen.sequences(spark, 5000L, 4),
+      DataGen.routingRules)
+    val dim = Seq(
+      ("Audit.General", "general-handler"),
+      ("Audit.AzureActiveDirectory", "aad-handler"),
+      ("Audit.Exchange", "exchange-handler"),
+      ("Audit.SharePoint", "sp-handler"),
+      ("DLP.All", "dlp-handler")).toDF("content_type", "handler")
+    val plain = fact.join(dim, "content_type")
+    val salted = Route.saltedJoin(fact, dim, "content_type", salts = 8)
+    assert(salted.count() === plain.count())
+    val a = plain.select("doc_id", "handler")
+    val b = salted.select("doc_id", "handler")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // the salted join key has salts x more distinct values than content_type
+    val keyCard = fact.withColumn("__salt",
+      pmod(xxhash64(col("doc_id")), lit(8)).cast("int"))
+      .select("content_type", "__salt").distinct().count()
+    assert(keyCard === 5L * 8)
+  }
+
   test("window-partitioned layout prunes the scan to requested windows") {
     val out = tmpDir("winpart")
     val parsed = Parse.deriveFields(DataGen.sequences(spark, 3000L, 4))
