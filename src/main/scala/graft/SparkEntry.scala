@@ -300,6 +300,17 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")),
 
+    "q_window_plan" -> ((s, d) =>
+      // ST3: the run plan — per content type, <=24h windows covering a
+      // 100h look-back ending at BaseEpoch+168h (epochs as ints so the
+      // oracle is exact)
+      Windows.planDf(s, Schemas.ContentTypes,
+          Parse.BaseEpoch + Parse.SpanSeconds, 100)
+        .select(col("content_type"),
+          col("window_start").cast("long").as("ws"),
+          col("window_end").cast("long").as("we"))
+        .orderBy("content_type", "ws")),
+
     "q_graylog_timestamp" -> ((s, d) =>
       // P3: the Graylog enrich — parse + reformat to millisecond precision
       t(s, d, "events")
@@ -547,6 +558,13 @@ object SparkEntry {
            CAST(sum(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_sum
          FROM events ORDER BY event_id""",
+    "q_window_plan" ->
+      """SELECT ct AS content_type, CAST(ws AS BIGINT) AS ws,
+           CAST(least(ws + 86400, 1767830400) AS BIGINT) AS we
+         FROM (SELECT unnest(['Audit.General','Audit.AzureActiveDirectory',
+                              'Audit.Exchange','Audit.SharePoint','DLP.All']) AS ct)
+         CROSS JOIN (SELECT unnest(range(1767470400, 1767830400, 86400)) AS ws)
+         ORDER BY 1, 2""",
     "q_graylog_timestamp" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS timestamp
          FROM events ORDER BY event_id""",
