@@ -105,7 +105,7 @@ object Bench {
 
     // ---- scaling probe: identical compute at N/4 and N cores -----------
     // Probe input is scaled up so per-task work dominates scheduling
-    // overhead; best of 3 runs per level (additive steal-time noise).
+    // overhead; best of 5 runs per level (additive steal-time noise).
     // Default N=2 vs 4N=8: both levels sit on physical cores — this VM
     // exposes 32 vCPUs over ~16 physical cores, so 8→32 crosses the
     // SMT boundary and cannot scale 4x by construction (BASELINE.md allows

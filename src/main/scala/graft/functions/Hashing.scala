@@ -35,11 +35,20 @@ object Hashing {
     acc
   }
 
-  /** Whitespace words of a string, Java-regex `\s+` semantics with trim —
-    * identical to split(trim(text), "\\s+"). */
+  /** Whitespace words of a string — identical to
+    * split(trim(text), "\\s+"): Spark's trim strips ONLY the space
+    * character (not \t/\n like Java's String.trim), so strip spaces
+    * manually before the regex split. */
   private def wordsOf(s: UTF8String): Array[String] = {
-    val t = s.toString.trim
-    if (t.isEmpty) Array("") else t.split("\\s+")
+    val str = s.toString
+    var a = 0
+    var b = str.length
+    while (a < b && str.charAt(a) == ' ') a += 1
+    while (b > a && str.charAt(b - 1) == ' ') b -= 1
+    val t = str.substring(a, b)
+    // limit -1: Spark's split keeps trailing empty strings, Java's default
+    // (limit 0) drops them — e.g. "x\t" must yield ["x", ""] in both
+    if (t.isEmpty) Array("") else t.split("\\s+", -1)
   }
 
   private def polyHashStr(str: String): Long = {

@@ -71,6 +71,8 @@ object DedupOps {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 2, k: Int = 8, bands: Int = 4,
                       minJaccardPct: Int = 60): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k must divide into bands=$bands (trailing minhashes would be silently unused)")
     val rowsPer = k / bands
     val sigd = df.select(
       col(idCol).as("id"),

@@ -47,15 +47,23 @@ object TextOps {
 
   /** Word n-gram shingles ("a b c", n=2 → ["a b","b c"]). */
   def wordNgrams(text: Column, n: Int): Column = {
+    // A text with fewer than n words yields ONE shingle — all its words
+    // joined — never an error: sequence(1, 0) counts DOWN to [1, 0] and
+    // slice(_, 0, n) throws at runtime. The guard matches
+    // Hashing.shingleHashes, which emits the same single short shingle.
     val ws = words(text)
-    transform(sequence(lit(1), greatest(size(ws) - lit(n - 1), lit(0))),
-      i => concat_ws(" ", slice(ws, i, lit(n))))
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - lit(n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", ws)))
   }
 
-  /** Character n-gram shingles. */
+  /** Character n-gram shingles; shorter-than-n text yields itself. */
   def charNgrams(text: Column, n: Int): Column =
-    transform(sequence(lit(1), greatest(length(text) - lit(n - 1), lit(0))),
-      i => text.substr(i, lit(n)))
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - lit(n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array(text))
 
   /** Distinct portable hashes of word n-gram shingles — the document's
     * shingle set for minhash / Jaccard. */

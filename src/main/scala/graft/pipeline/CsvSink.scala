@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
  */
 object CsvSink {
 
-  private def flatten(df: DataFrame): DataFrame = {
+  /** Union-schema flattening shared by the CSV writers and the file-sink
+    * shape: complex columns to JSON strings (tokens via the codegen'd
+    * int_array_json ≡ to_json), deterministic sorted column order,
+    * missing values padded "". */
+  private[pipeline] def flatten(df: DataFrame): DataFrame = {
     val flat = df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {
         case _: org.apache.spark.sql.types.ArrayType if f.name == "tokens" =>

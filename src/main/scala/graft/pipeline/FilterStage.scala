@@ -65,9 +65,12 @@ object FilterStage {
    */
   def applyJoin(df: DataFrame, rulesDf: DataFrame, filterableKeys: Seq[String]): DataFrame = {
     val present = filterableKeys.filter(df.columns.contains)
-    val kv = map(present.flatMap(k => Seq(lit(k), col(k).cast("string"))): _*)
+    // keys lower-cased on BOTH sides so rule-key resolution matches
+    // applyStatic's case-insensitive fallback (reference configs use
+    // capitalized keys like "Operation" against our lower-case columns)
+    val kv = map(present.flatMap(k => Seq(lit(k.toLowerCase), col(k).cast("string"))): _*)
     val rulesAgg = rulesDf.groupBy("content_type")
-      .agg(collect_list(struct(col("key"), col("value"))).as("__rules"))
+      .agg(collect_list(struct(lower(col("key")).as("key"), col("value"))).as("__rules"))
     df.withColumn("__kv", kv)
       .join(broadcast(rulesAgg), Seq("content_type"), "left_outer")
       .filter(col("__rules").isNull ||

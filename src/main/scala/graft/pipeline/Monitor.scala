@@ -19,11 +19,12 @@ object Monitor {
       concat(repeat(lit("*"), 8), c.substr(length(c) - lit(keep - 1), lit(keep))))
 
   /** A6 — progress percent. The reference's formula
-    * `((found - successful) / found) * 100` int-divides first and computes
-    * *remaining*, not progress (:862-867) — provided verbatim for
-    * compatibility plus the corrected form. */
+    * `((found - successful) / found) * 100` INT-divides first (usize
+    * division truncates: 0 whenever successful > 0, 100 only at
+    * successful = 0) and computes *remaining*, not progress (:862-867) —
+    * reproduced verbatim, bug included, plus the corrected form. */
   def progressPctReference(found: Column, successful: Column): Column =
-    (found - successful) / found * 100 cast "int"
+    (floor((found - successful) / found) * 100).cast("int")
   def progressPct(found: Column, successful: Column): Column =
     round(successful * 100.0 / found).cast("int")
 

@@ -33,7 +33,13 @@ object Pipeline {
     enabledTypes: Seq[String] = Schemas.ContentTypes,
     duplicate: Int = 1,
     nowEpochSec: Long = Parse.BaseEpoch + Parse.SpanSeconds,
-    expirationEpochSec: Long = Parse.BaseEpoch + 30L * 24 * 3600)
+    expirationEpochSec: Long = Parse.BaseEpoch + 30L * 24 * 3600,
+    // None = engine default: every sink shape is written (bench/test mode).
+    // Some(outputConfig) = honor the reference's per-interface enablement:
+    // only enabled record sinks are written; the file sink becomes a real
+    // CSV at the configured path/separator/mode. Operational outputs
+    // (prtg, checksums, quarantine, metrics, state) are always written.
+    output: Option[OutputConfig] = None)
 
   case class Result(stats: RunStats, snapshot: Option[Int])
 
@@ -128,11 +134,26 @@ object Pipeline {
         .unionByName(parsedPerPart)
         .unionByName(droppedPerPart)
         .unionByName(perPartition(quarantineP, "quarantined"))
-      val writes = Seq(
-        () => Sinks.write(Sinks.fileCsvShape(salted), s"$outDir/file_csv", Seq("content_type")),
-        () => Sinks.write(Sinks.graylogShape(cached), s"$outDir/graylog"),
-        () => Sinks.write(Sinks.fluentdShape(cached, cfg.tenant), s"$outDir/fluentd"),
-        () => Sinks.write(Sinks.logAnalyticsShape(cached), s"$outDir/log_analytics", Seq("log_type")),
+      val recordSinks: Seq[() => Unit] = cfg.output match {
+        case None => Seq( // engine default: all sink shapes
+          () => Sinks.write(Sinks.fileCsvShape(salted), s"$outDir/file_csv", Seq("content_type")),
+          () => Sinks.write(Sinks.graylogShape(cached), s"$outDir/graylog"),
+          () => Sinks.write(Sinks.fluentdShape(cached, cfg.tenant), s"$outDir/fluentd"),
+          () => Sinks.write(Sinks.logAnalyticsShape(cached), s"$outDir/log_analytics", Seq("log_type")))
+        case Some(out) => // reference semantics: only enabled interfaces
+          out.file.filter(_.enabled).map { f => () =>
+            if (f.separateByContentType)
+              { CsvSink.writeSeparated(cached, s"$outDir/${f.path}", f.separator); () }
+            else CsvSink.writeUnified(salted, s"$outDir/${f.path}", f.separator)
+          }.toSeq ++
+          out.graylog.filter(_.enabled).map(_ => () =>
+            Sinks.write(Sinks.graylogShape(cached), s"$outDir/graylog")) ++
+          out.fluentd.filter(_.enabled).map(f => () =>
+            Sinks.write(Sinks.fluentdShape(cached, f.tenantName), s"$outDir/fluentd")) ++
+          out.azureLogAnalytics.filter(_.enabled).map(_ => () =>
+            Sinks.write(Sinks.logAnalyticsShape(cached), s"$outDir/log_analytics", Seq("log_type")))
+      }
+      val writes = recordSinks ++ Seq(
         () => Sinks.write(Sinks.prtgShape(cached), s"$outDir/prtg"),
         () => Sinks.write(Sinks.routedChecksum(cached), s"$outDir/checksums"),
         () => Sinks.write(quarantine, s"$outDir/quarantine"),

@@ -85,14 +85,16 @@ object CollectorConfig {
         OmsOutputConfig(enabled(n), n.strAt("workspaceId").getOrElse(""))))
   }
 
-  /** Bridge to the runtime pipeline config. */
+  /** Bridge to the runtime pipeline config. Output enablement is honored
+    * (reference: only configured interfaces receive logs). */
   def toPipelineConfig(c: CollectorConfig): Pipeline.Config =
     Pipeline.Config(
       rules = c.collect.filter,
       skipKnownLogs = c.collect.skipKnownLogs,
       enabledTypes = c.collect.contentTypes,
       duplicate = c.collect.duplicate,
-      tenant = c.output.fluentd.map(_.tenantName).getOrElse("MyTenant"))
+      tenant = c.output.fluentd.map(_.tenantName).getOrElse("MyTenant"),
+      output = Some(c.output))
 }
 
 /**

@@ -49,9 +49,13 @@ object Route {
    * also works for joins AQE can't split (e.g. under bucketed layouts) —
    * and the pattern the north rule names explicitly.
    */
-  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
-    val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(col("doc_id")), lit(salts)).cast("int"))
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
+                 saltSource: Option[Column] = None): DataFrame = {
+    // salt from a caller-supplied expression, or a hash of every non-key
+    // fact column (deterministic, no schema assumption)
+    val src = saltSource.getOrElse(
+      xxhash64(fact.columns.filterNot(_ == key).map(col): _*))
+    val saltedFact = fact.withColumn("__salt", pmod(src, lit(salts)).cast("int"))
     val saltedDim = dim
       .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")

@@ -26,13 +26,7 @@ object Sinks {
    * Token arrays are serialized to a JSON string column (CSV cannot carry
    * arrays; the JSON round-trips losslessly for the token-equality check).
    */
-  def fileCsvShape(df: DataFrame): DataFrame = {
-    // int_array_json ≡ to_json(array<int>) byte-for-byte, but codegen'd
-    val flat = df.withColumn("tokens",
-      graft.functions.GraftFunctions.int_array_json(col("tokens")))
-    val ordered = flat.columns.sorted.map(col)
-    flat.select(ordered: _*).na.fill("")
-  }
+  def fileCsvShape(df: DataFrame): DataFrame = CsvSink.flatten(df)
 
   /**
    * Graylog sink shape (reference: src/interfaces/graylog_interface.rs:

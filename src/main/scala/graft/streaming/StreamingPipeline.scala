@@ -43,14 +43,24 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val fresh = state.dedup(batch, state.load(spark, cfg.nowEpochSec))
-        val routed = Pipeline.routedRecords(fresh, cfg.rules)
+        val fresh =
+          if (cfg.skipKnownLogs) state.dedup(batch, state.load(spark, cfg.nowEpochSec))
+          else batch
+        val inflated =
+          if (cfg.duplicate > 1)
+            fresh.withColumn("__dup", explode(array_repeat(lit(1), cfg.duplicate)))
+              .drop("__dup")
+          else fresh
+        val routed = Pipeline.routedRecords(inflated, cfg.rules, cfg.enabledTypes)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          routed.write.mode("append").parquet(s"$outDir/routed")
+          // per-batch OVERWRITE into a batch_id partition directory: a
+          // foreachBatch retry after a partial write re-writes the same
+          // directory instead of appending duplicates (idempotent replay —
+          // the batch path gets the same property from mode("overwrite"))
+          routed.write.mode("overwrite").parquet(s"$outDir/routed/batch_id=$batchId")
           Sinks.prtgShape(routed)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(s"$outDir/prtg_batches")
+            .write.mode("overwrite").parquet(s"$outDir/prtg_batches/batch_id=$batchId")
           routedTotal.addAndGet(routed.count())
           // commit all received ids (filtered rows included — reference
           // semantics, src/collector.rs:161) strictly after the writes

@@ -15,7 +15,7 @@ class FunctionsSpec extends SparkSuite {
   lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
 
   test("poly_hash ≡ TextOps.polyHash (HOF) on all documents + unicode edges") {
-    val edge = Seq("", "a", "中文 test", " spaced  out ").toDF("text")
+    val edge = Seq("", "a", "中文 test", " spaced  out ", "a😀b", "\ttab\n").toDF("text")
     for (df <- Seq(docs.select("text"), edge)) {
       val diff = df.select(
         poly_hash(col("text")).as("a"),
@@ -25,12 +25,16 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
-  test("shingle_hashes ≡ TextOps.shingleHashes") {
-    val diff = docs.select(
-      shingle_hashes(col("text"), 2).as("a"),
-      TextOps.shingleHashes(col("text"), 2).as("b"))
-      .filter(col("a") =!= col("b")).count()
-    assert(diff === 0)
+  test("shingle_hashes ≡ TextOps.shingleHashes incl. whitespace/short/unicode edges") {
+    val edge = Seq("\thello world\n", "solo", "", "  spaced  ", "a😀b c",
+      "x\t", "中文 字 test").toDF("text")
+    for (df <- Seq(docs.select("text"), edge)) {
+      val diff = df.select(
+        shingle_hashes(col("text"), 2).as("a"),
+        TextOps.shingleHashes(col("text"), 2).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff === 0)
+    }
   }
 
   test("minhash_sig ≡ DedupOps.minhashSignature") {

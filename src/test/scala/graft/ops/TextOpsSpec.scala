@@ -46,6 +46,22 @@ class TextOpsSpec extends SparkSuite {
     assert(cg === Seq("abc", "bcd"))
   }
 
+  test("shorter-than-n inputs yield one whole-text shingle, never an error") {
+    // regression: sequence(1, 0) counts DOWN and slice(_, 0, n) throws
+    val rows = Seq("solo", "", "two words").toDF("t")
+      .select(TextOps.wordNgrams(col("t"), 3).as("w"),
+              TextOps.charNgrams(col("t"), 8).as("c"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(rows(0)._1 === Seq("solo"))
+    assert(rows(1)._1 === Seq(""))
+    assert(rows(2)._1 === Seq("two words"))
+    assert(rows(0)._2 === Seq("solo"))
+    // and the minhash path survives single-word docs
+    val sig = Seq("solo").toDF("t")
+      .select(DedupOps.minhashSignature(col("t"), 2, 4)).collect()
+    assert(sig.length === 1)
+  }
+
   test("langId is deterministic and votes by stopwords") {
     val got = Seq(
       "the cat of the house and a dog",   // en

@@ -80,7 +80,10 @@ class ConfigSpec extends SparkSuite {
   }
 
   test("config-driven run honours subscriptions, filters and duplicate") {
+    // filter.yaml has no output section → with honored enablement no record
+    // sinks would be written; run in engine-default sink mode for this test
     val cfg0 = CollectorConfig.toPipelineConfig(CollectorConfig.fromYaml(filterConfig))
+      .copy(output = None)
     assert(cfg0.enabledTypes.size === 3)
     val out = tmpDir("cfgrun")
     val seqs = DataGen.sequences(spark, 2000L, 4)
@@ -103,6 +106,42 @@ class ConfigSpec extends SparkSuite {
     // but state still carries each id once
     val stateRows = new StateStore(s"$out/state").load(spark, cfg0.nowEpochSec)
     assert(stateRows.select("content_id").distinct().count() === stateRows.count())
+  }
+
+  test("output enablement honored: disabled file sink skipped, enabled CSV written") {
+    val yaml =
+      """collect:
+        |  contentTypes:
+        |    Audit.General: True
+        |    Audit.Exchange: True
+        |output:
+        |  file:
+        |    enabled: True
+        |    separateByContentType: True
+        |    path: 'out.csv'
+        |    separator: ';'
+        |  graylog:
+        |    address: localhost
+        |    port: 5555
+        |""".stripMargin
+    val cfg = CollectorConfig.toPipelineConfig(CollectorConfig.fromYaml(yaml))
+    val out = tmpDir("cfgout")
+    Pipeline.run(spark, DataGen.sequences(spark, 500L, 2), out, cfg)
+    val files = new java.io.File(out).list().toSet
+    // enabled: separated CSV files (timestamped) + graylog; not configured:
+    // fluentd / log_analytics; always: prtg, checksums, metrics, state
+    assert(files.exists(_.contains("_out_Audit")), s"csv files missing in $files")
+    assert(files.contains("graylog"))
+    assert(!files.contains("fluentd") && !files.contains("log_analytics"))
+    assert(files.contains("prtg") && files.contains("metrics") && files.contains("state"))
+    // disabled file sink: flip enabled → False, no CSV appears
+    val cfg2 = CollectorConfig.toPipelineConfig(
+      CollectorConfig.fromYaml(yaml.replace("enabled: True", "enabled: False")))
+    val out2 = tmpDir("cfgout2")
+    Pipeline.run(spark, DataGen.sequences(spark, 500L, 2), out2, cfg2)
+    val files2 = new java.io.File(out2).list().toSet
+    assert(!files2.exists(_.contains("out_Audit")) && !files2.contains("file_csv"))
+    assert(files2.contains("graylog"))
   }
 
   test("malformed yaml fails fast (reference panics on bad config)") {

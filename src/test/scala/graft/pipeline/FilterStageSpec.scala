@@ -41,6 +41,16 @@ class FilterStageSpec extends SparkSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("join filter resolves capitalized rule keys like static does (reference configs)") {
+    // reference filter.yaml uses "Operation" against our "operation" column
+    val capRules = Seq(
+      RoutingRule("Audit.AzureActiveDirectory", "Operation", "UserLoginFailed"))
+    val a = FilterStage.applyStatic(rows, capRules)
+    val b = FilterStage.applyJoin(rows, capRules.toDF(), Seq("Policy", "operation"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() < rows.count(), "the capitalized rule must actually filter")
+  }
+
   test("join filter broadcasts (no shuffle of the fact side)") {
     val plan = FilterStage.applyJoin(rows, rules.toDF(), Seq("Policy", "operation"))
       .queryExecution.executedPlan.toString

@@ -13,14 +13,17 @@ class MonitorSpec extends SparkSuite {
     assert(got(1) === "tiny")
   }
 
-  test("progress: reference formula computes remaining; corrected computes progress") {
-    val df = Seq((200L, 50L)).toDF("found", "successful")
-    val (ref, fixed) = df.select(
+  test("progress: reference formula int-divides first (bug preserved); corrected computes progress") {
+    val df = Seq((200L, 50L), (200L, 0L), (200L, 200L)).toDF("found", "successful")
+    val rows = df.select(
       Monitor.progressPctReference(col("found"), col("successful")),
       Monitor.progressPct(col("found"), col("successful")))
-      .as[(Int, Int)].head()
-    assert(ref === 75)   // (200-50)/200*100 — "remaining", the reference bug
-    assert(fixed === 25) // 50/200
+      .as[(Int, Int)].collect()
+    // reference: ((found-successful)/found)*100 with usize division —
+    // truncates to 0 for any successful > 0, 100 only when successful = 0
+    assert(rows(0) === ((0, 25)))
+    assert(rows(1) === ((100, 0)))
+    assert(rows(2) === ((0, 100)))
   }
 
   test("chart scale picks the max counter") {

@@ -44,6 +44,18 @@ class StreamingPipelineSpec extends SparkSuite {
     assert(dups === 0)
   }
 
+  test("streaming honors subscriptions and duplicate like the batch path") {
+    val in = tmpDir("stream_in6"); val out = tmpDir("stream_out6")
+    writeBatch(in, 0, 500)
+    val cfg = Pipeline.Config(enabledTypes = Seq("DLP.All"), duplicate = 2)
+    val routedN = StreamingPipeline.runAvailableNow(spark, in, out, cfg)
+    val got = spark.read.parquet(s"$out/routed")
+    assert(got.select("content_type").distinct().as[String].collect() === Array("DLP.All"))
+    val batchEquiv = Pipeline.routedRecords(DataGen.sequences(spark, 500L, 2),
+      cfg.rules, cfg.enabledTypes).count() * 2
+    assert(routedN === batchEquiv)
+  }
+
   test("windowed counts with watermark match the batch 24h window split") {
     val in = tmpDir("stream_in3"); val out = tmpDir("stream_out3")
     writeBatch(in, 0, 2000)
