@@ -87,7 +87,9 @@ object DedupOps {
       col("id").as("id_b"), col("shingles").as("sh_b"))
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      // dedup candidates on the id PAIR only — hashing the shingle arrays
+      // as distinct keys would be wasted work in the exchange
+      .dropDuplicates("id_a", "id_b")
       .withColumn("inter_size", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("union_size", size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("inter_size") * 100 >= col("union_size") * minJaccardPct)
