@@ -68,7 +68,7 @@ object SparkEntry {
           col("doc_id"),
           translate(col("lang"), ".", "_").as("log_type"),
           lower(col("source")).as("src_lower"),
-          length(col("text")).as("text_len"),
+          length(col("text")).cast("long").as("text_len"), // DuckDB length() is BIGINT
           substring(col("text"), 1, 8).as("prefix"))
         .orderBy("doc_id")),
 
