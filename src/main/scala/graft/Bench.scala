@@ -80,11 +80,16 @@ object Bench {
       val e = t("embeddings")
       SimilarityOps.bruteForceTopK(e, e, "vec_id", "embedding", 1).count()
     }
+    // ANN index parameters scale with corpus size: LSH bits target ~32
+    // vectors per bucket; IVF centroids ~sqrt(n) (standard sizing rules)
+    val nEmb = t("embeddings").count()
+    val lshBits = math.max(4, (math.log(nEmb / 32.0) / math.log(2)).ceil.toInt)
+    val ivfCentroids = math.max(16, math.sqrt(nEmb.toDouble).ceil.toInt)
     queries("ann_lsh_top1") = time {
-      SimilarityOps.lshTopK(t("embeddings"), "vec_id", "embedding", 1, 4, 8).count()
+      SimilarityOps.lshTopK(t("embeddings"), "vec_id", "embedding", 1, lshBits, 8).count()
     }
     queries("ann_ivf_top1") = time {
-      SimilarityOps.ivfTopK(t("embeddings"), "vec_id", "embedding", 1, 16, 4).count()
+      SimilarityOps.ivfTopK(t("embeddings"), "vec_id", "embedding", 1, ivfCentroids, 8).count()
     }
     queries("text_analysis") = time {
       TextOps.qualityScore(t("documents"))
