@@ -91,11 +91,24 @@ object Bench {
     queries("ann_ivf_top1") = time {
       SimilarityOps.ivfTopK(t("embeddings"), "vec_id", "embedding", 1, ivfCentroids, 8).count()
     }
+    queries("dedup_exact") = time {
+      DedupOps.exactDedup(t("documents"), Seq("text"), "doc_id").count()
+    }
+    queries("dedup_ngram_jaccard") = time {
+      DedupOps.ngramJaccardPairs(t("documents"), "doc_id", "text", "lang", 2, 55).count()
+    }
     queries("text_analysis") = time {
       TextOps.qualityScore(t("documents"))
         .select(col("doc_id"), TextOps.langId(col("text")),
           TextOps.fingerprint(col("text")), col("n_words"))
         .count()
+    }
+    queries("window_rank") = time {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t("orders").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).count()
     }
     queries("tpch_agg") = time {
       t("lineitem").groupBy("l_returnflag", "l_linestatus")
@@ -134,11 +147,18 @@ object Bench {
     val rowsPerSec = routed / tPipeline
     val qs = queries.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
-    println(
+    val json =
       s"""{"metric":"routed_rows_per_sec","value":${"%.1f".format(rowsPerSec)},""" +
       s""""unit":"rows/sec","queries":$qs,"sf":"$sfDir","rows":$nRows,""" +
       s""""routed":$routed,"scaling":{"cores_lo":$lo,"rows_per_sec_lo":${"%.1f".format(thrLo)},""" +
       s""""cores_hi":$hiProbe,"rows_per_sec_hi":${"%.1f".format(thrHi)},""" +
-      s""""efficiency":${"%.3f".format(eff)}}}""")
+      s""""efficiency":${"%.3f".format(eff)}}}"""
+    // belt and braces for the driver's parser: the JSON line on stdout
+    // (raw — build.sbt forces StdoutOutput so sbt doesn't prefix it) AND
+    // a file copy at $SPARK_GRAFT_BENCH_OUT (default ./BENCH_LOCAL.json)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
+    println(json)
   }
 }
