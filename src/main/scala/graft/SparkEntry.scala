@@ -325,14 +325,15 @@ object SparkEntry {
         .agg(floor(expr("percentile(l_quantity, 0.5)")).cast("long").as("median_qty"))
         .orderBy("l_returnflag")),
 
-    "q_pipeline_prtg" -> ((s, d) => {
-      // flagship pipeline over the synthesized sequences table at the SF of
-      // `d` — PRTG sensor counts per (content_type, operation); rows-only
-      val n = math.min(DataGen.rowsForSf(d), 100000L)
-      Pipeline.routedRecords(DataGen.sequences(s, n), DataGen.routingRules)
+    "q_pipeline_prtg" -> ((s, d) =>
+      // flagship pipeline over the synthesized 100k-row sequences table —
+      // PRTG sensor counts per (content_type, operation). Every field
+      // derivation is portable affine arithmetic (Parse.mix), so the DuckDB
+      // oracle reproduces the ENTIRE parse → filter → route chain from
+      // range(100000). Fixed n so the oracle SQL is static.
+      Pipeline.routedRecords(DataGen.sequences(s, 100000L), DataGen.routingRules)
         .groupBy("content_type", "operation").agg(count(lit(1)).as("cnt"))
-        .orderBy("content_type", "operation")
-    }),
+        .orderBy("content_type", "operation")),
 
     "q_media_decode" -> ((s, d) => {
       // multimodal plumbing — synthetic binary, stubbed decode; rows-only
@@ -364,9 +365,73 @@ object SparkEntry {
         FROM h ORDER BY doc_id"""
   }
 
+  /** DuckDB reproduction of minhashNearDups(n=2, k=8, bands=4, 60%):
+    * shingle poly-hashes → 8 affine minhashes (A_i = 2654435761 mod P +
+    * 2i+1, B_i = 1013904223 + 7919i, i=0..7) → 4 band hashes of 2 rows →
+    * candidates where any band collides → exact Jaccard verify. */
+  private def minhashLshOracleSql: String = {
+    val P = 1000000007L
+    def a(i: Int) = 2654435761L % P + 2L * i + 1L
+    def b(i: Int) = 1013904223L + 7919L * i
+    val mins = (0 until 8).map(i =>
+      s"list_min(list_transform(sh, h -> (h * ${a(i)} + ${b(i)}) % $P)) AS m$i")
+      .mkString(", ")
+    val bandCols = (0 until 4).map(bb =>
+      s"(m${2 * bb} * 31 + m${2 * bb + 1}) % $P AS b$bb").mkString(", ")
+    val anyBand = (0 until 4).map(bb => s"a.b$bb = b.b$bb").mkString(" OR ")
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+        s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i ->
+            list_reduce(list_prepend(0::BIGINT, list_transform(
+              string_split_regex(ws[i] || ' ' || ws[i+1], ''), c -> ascii(c)::BIGINT)),
+              (acc, x) -> (acc * 31 + x) % $P))) AS sh FROM w),
+        sig AS (SELECT doc_id, sh, $mins FROM s),
+        banded AS (SELECT doc_id, sh, $bandCols FROM sig)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size,
+          CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_size
+        FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($anyBand)
+        WHERE len(list_intersect(a.sh, b.sh)) * 100 >=
+              len(list_distinct(list_concat(a.sh, b.sh))) * 60
+        ORDER BY id_a, id_b"""
+  }
+
+  /** The flagship pipeline, reproduced end to end in DuckDB: the same
+    * affine mixes (Parse.mix family, A_s = 2654435761 mod P + 2s+1,
+    * B_s = 1013904223 + 7919s) derive content_type / operation / Policy
+    * from range(100000); the same absent-key-passes rules filter; the same
+    * (content_type, operation) rollup. */
+  private def pipelinePrtgOracleSql: String = {
+    val P = 1000000007L
+    def a(s: Int) = 2654435761L % P + 2L * s + 1L
+    def b(s: Int) = 1013904223L + 7919L * s
+    def m(s: Int) = s"((i * ${a(s)} + ${b(s)}) % $P)"
+    val ops = Schemas.Operations.map(o => s"'$o'").mkString("[", ",", "]")
+    s"""WITH ids AS (SELECT unnest(range(100000)) AS i),
+        f AS (SELECT
+          CASE WHEN ${m(1)} % 100 < 50 THEN 'Audit.General'
+               WHEN ${m(1)} % 100 < 70 THEN 'Audit.AzureActiveDirectory'
+               WHEN ${m(1)} % 100 < 85 THEN 'Audit.Exchange'
+               WHEN ${m(1)} % 100 < 95 THEN 'Audit.SharePoint'
+               ELSE 'DLP.All' END AS content_type,
+          $ops[CAST(${m(3)} % 12 AS INT) + 1] AS operation,
+          ${m(6)} % 10 AS h_pp, ${m(7)} % 4 AS h_pv
+        FROM ids),
+        g AS (SELECT content_type, operation,
+          CASE WHEN content_type = 'Audit.General' AND h_pp <> 0
+               THEN CASE WHEN h_pv = 0 THEN 'Spoof' ELSE 'Phish' END
+          END AS policy
+        FROM f)
+        SELECT content_type, operation, count(*) AS cnt FROM g
+        WHERE (content_type <> 'Audit.General' OR policy IS NULL OR policy = 'Spoof')
+          AND (content_type <> 'Audit.AzureActiveDirectory' OR operation = 'UserLoginFailed')
+          AND (content_type <> 'Audit.SharePoint' OR operation = 'FileDeleted')
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
   /** DuckDB-runnable oracles; table names resolve to the same parquet. */
   def oracleSql: Map[String, String] = Map(
     "q_simhash_portable" -> simhashOracleSql,
+    "q_pipeline_prtg" -> pipelinePrtgOracleSql,
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -502,19 +567,13 @@ object SparkEntry {
            list_min(list_transform(sh, h -> (h * 654435748 + 1013904223) % 1000000007)) AS m0,
            list_min(list_transform(sh, h -> (h * 654435750 + 1013912142) % 1000000007)) AS m1
          FROM s ORDER BY doc_id""",
-    "q_dedup_minhash_lsh" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
-         s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i ->
-             list_reduce(list_prepend(0::BIGINT, list_transform(
-               string_split_regex(ws[i] || ' ' || ws[i+1], ''), c -> ascii(c)::BIGINT)),
-               (acc, x) -> (acc * 31 + x) % 1000000007))) AS sh FROM w)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size,
-           CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_size
-         FROM s a JOIN s b ON a.doc_id < b.doc_id
-         WHERE len(list_intersect(a.sh, b.sh)) * 100 >=
-               len(list_distinct(list_concat(a.sh, b.sh))) * 60
-         ORDER BY id_a, id_b""",
+    // Reproduces the Spark side's FULL LSH pipeline — k=8 minhashes, 4
+    // bands of 2, candidate iff ANY band hash collides, then exact Jaccard
+    // ≥ 60% — so the oracle has the same recall curve (an exhaustive
+    // all-pairs oracle would spuriously fail whenever banding misses a
+    // borderline pair). Band hash b = (m_{2b}*31 + m_{2b+1}) mod P, the
+    // polynomial fold DedupOps.bandedSignature computes over the slice.
+    "q_dedup_minhash_lsh" -> minhashLshOracleSql,
     "q_dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws FROM documents),
          s AS (SELECT doc_id, lang, list_distinct(list_transform(range(1, len(ws)), i ->

@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
  *  - embedding: cosine near-dup via hyperplane LSH buckets (SimilarityOps)
  *
  * All hashing is the portable TextOps.polyHash so results are independently
- * reproducible (DuckDB oracle). At 100 TB the only shuffles are (a) the band
- * bucket exchange, keyed on (band, bandHash) — high cardinality, naturally
- * balanced; and (b) the pair dedup. Signatures are computed scan-side.
+ * reproducible (DuckDB oracle). At 100 TB the shuffles are (a) the band
+ * bucket exchange, keyed on (band, bandHash) and carrying ONLY ids + band
+ * keys (never shingle arrays); (b) the pair dedup; (c) the per-surviving-pair
+ * shingle fetch joins. Signatures are computed scan-side in codegen.
  */
 object DedupOps {
 
@@ -74,22 +75,31 @@ object DedupOps {
     require(k % bands == 0,
       s"k=$k must divide into bands=$bands (trailing minhashes would be silently unused)")
     val rowsPer = k / bands
-    val sigd = df.select(
-      col(idCol).as("id"),
-      graft.functions.GraftFunctions.shingle_hashes(col(textCol), n).as("shingles"),
-      graft.functions.GraftFunctions.minhash_sig(col(textCol), n, k).as("sig"))
-    val banded = sigd
-      .withColumn("bb", explode(bandedSignature(col("sig"), bands, rowsPer)))
-      .select(col("id"), col("shingles"), col("bb.band"), col("bb.band_hash"))
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val src = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // Band exchange carries ONLY (id, band, band_hash) — at 100 TB the
+    // shuffle payload is keys, not shingle sets (which are ~KB/row and
+    // would ride the exchange ×bands copies). Column pruning keeps the
+    // banding scan from materializing shingles at all. PlanSpec asserts
+    // the exchange schema stays array-free.
+    val banded = src
+      .select(col("id"), explode(bandedSignature(
+        graft.functions.GraftFunctions.minhash_sig(col("text"), n, k),
+        bands, rowsPer)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.band_hash"))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      // dedup candidates on the id PAIR only — hashing the shingle arrays
-      // as distinct keys would be wasted work in the exchange
+      // a pair colliding in several bands must be verified once, not ×bands
       .dropDuplicates("id_a", "id_b")
+    // fetch shingles once per SURVIVING pair: two hash joins back to the
+    // (second, column-pruned) shingle scan — O(pairs + corpus) exchange
+    // instead of O(corpus × bands × shingle bytes)
+    val sh = src.select(col("id"),
+      graft.functions.GraftFunctions.shingle_hashes(col("text"), n).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter_size", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("union_size", size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("inter_size") * 100 >= col("union_size") * minJaccardPct)
@@ -116,14 +126,30 @@ object DedupOps {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dups: 16-bit chunk banding + hamming verification. */
+  /** SimHash near-dups: chunk banding + hamming verification.
+    *
+    * The chunk count is DERIVED from `maxHamming` (pigeonhole: two
+    * signatures at hamming distance h split into h+1 chunks must agree on
+    * at least one chunk), so recall is 1.0 by construction for every
+    * `maxHamming` — the old fixed-4-chunk variant silently missed pairs at
+    * hamming 4-6 that differed in all four chunks. maxHamming=3 keeps the
+    * classic 4×16-bit layout. Requires maxHamming in [0, 15] so chunks
+    * keep ≥ 4 bits (beyond that, banding stops pruning anything). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 6): DataFrame = {
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming=$maxHamming outside [0,15]: chunks would be <4 bits and prune nothing")
+    val chunks = maxHamming + 1
+    val width = (64 + chunks - 1) / chunks // ceil; last chunk may be narrower
     val sigd = df.select(col(idCol).as("id"),
       graft.functions.GraftFunctions.simhash64(col(textCol)).as("sig"))
-    val chunked = sigd.withColumn("chunk", explode(array((0 until 4).map { c =>
-      struct(lit(c).as("cid"),
-        shiftright(col("sig"), c * 16).bitwiseAND(65535).as("cval"))
+    val chunked = sigd.withColumn("chunk", explode(array((0 until chunks).map { c =>
+      val lo = c * width
+      val w = math.min(width, 64 - lo)
+      val cval =
+        if (w >= 64) col("sig")
+        else shiftright(col("sig"), lo).bitwiseAND((1L << w) - 1)
+      struct(lit(c).as("cid"), cval.as("cval"))
     }: _*)))
       .select(col("id"), col("sig"), col("chunk.cid"), col("chunk.cval"))
     val a = chunked.select(col("cid"), col("cval"), col("id").as("id_a"), col("sig").as("sig_a"))
@@ -143,12 +169,19 @@ object DedupOps {
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, minJaccardPct: Int): DataFrame = {
-    val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      graft.functions.GraftFunctions.shingle_hashes(col(textCol), n).as("sh"))
-    val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk"))
+    val src = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(textCol).as("text"))
+    // block exchange carries ids only; shingles join back per pair (same
+    // shape as minhashNearDups — the block self-join payload must not be
+    // the shingle arrays)
+    val keys = src.select(col("blk"), col("id"))
+    val pairs = keys.select(col("blk"), col("id").as("id_a"))
+      .join(keys.select(col("blk"), col("id").as("id_b")), Seq("blk"))
       .filter(col("id_a") < col("id_b"))
+    val sh = src.select(col("id"),
+      graft.functions.GraftFunctions.shingle_hashes(col("text"), n).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter_size", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("union_size", size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("inter_size") * 100 >= col("union_size") * minJaccardPct)

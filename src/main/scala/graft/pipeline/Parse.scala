@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
  * (reference: src/collector.rs:174-192 consumes these keys;
  * src/data_structures.rs:40-49 routes on content type).
  *
- * All derivations are pure column functions of (doc_id, tokens) —
- * deterministic, whole-stage-codegen'd, no UDFs (SURVEY.md §2.7 F10).
- * The token arrays pass through untouched: the north-rule invariant is
- * per-row token-array equality end to end.
+ * All derivations are PORTABLE integer arithmetic over the numeric doc
+ * index — the affine family ((id mod P) * A_s + B_s) mod P shared with
+ * DedupOps — so the flagship pipeline is bit-reproducible in any engine
+ * (the DuckDB oracle for q_pipeline_prtg recomputes every field with
+ * plain BIGINT math; xxhash64 would have no cross-engine equivalent).
+ * Everything is deterministic, whole-stage-codegen'd, no UDFs
+ * (SURVEY.md §2.7 F10). The token arrays pass through untouched: the
+ * north-rule invariant is per-row token-array equality end to end.
  */
 object Parse {
 
@@ -23,12 +27,26 @@ object Parse {
     * (reference: src/config.rs:29-56 caps look-back at 168 h). */
   val SpanSeconds: Long = 604800L
 
+  /** Same prime + affine family as DedupOps/TextOps — one portable hash
+    * family across the whole engine. */
+  val P: Long = 1000000007L
+  private def affineA(s: Int): Long = 2654435761L % P + 2L * s + 1L
+  private def affineB(s: Int): Long = 1013904223L + 7919L * s
+
+  /** Numeric index of a `doc-%012d` id (DataGen's format). */
+  def idNum(docId: Column): Column = substring(docId, 5, 12).cast("long")
+
+  /** Portable affine mix s of the doc index: ((id mod P)*A_s + B_s) mod P.
+    * (id mod P)*A_s < P * 7e8 < 2^63 — no overflow on any engine. */
+  def mix(docId: Column, s: Int): Column =
+    pmod(pmod(idNum(docId), lit(P)) * affineA(s) + affineB(s), lit(P))
+
   private def typedLit(xs: Seq[String]): Column = array(xs.map(lit): _*)
 
   /** Skewed content-type pick: 50/20/15/10/5 % — the 50% dominant type
     * (Audit.General) exercises the salted-repartition / AQE skew path. */
   def contentTypeCol(docId: Column): Column = {
-    val h = pmod(xxhash64(docId), lit(100))
+    val h = pmod(mix(docId, 1), lit(100))
     when(h < 50, Schemas.ContentTypes(0))
       .when(h < 70, Schemas.ContentTypes(1))
       .when(h < 85, Schemas.ContentTypes(2))
@@ -45,25 +63,22 @@ object Parse {
    * the absent-key-passes filter semantics of src/collector.rs:176-184).
    */
   def deriveFields(df: DataFrame): DataFrame = {
-    val t0 = col("tokens").getItem(0)
-    val t1 = col("tokens").getItem(1)
-    val t2 = col("tokens").getItem(2)
-    val t3 = col("tokens").getItem(3)
+    val id = col("doc_id")
     df
-      .withColumn("content_type", contentTypeCol(col("doc_id")))
+      .withColumn("content_type", contentTypeCol(id))
       .withColumn("workload",
-        element_at(typedLit(Schemas.Workloads), (pmod(t0, lit(6)) + 1).cast("int")))
+        element_at(typedLit(Schemas.Workloads), (pmod(mix(id, 2), lit(6)) + 1).cast("int")))
       .withColumn("operation",
-        element_at(typedLit(Schemas.Operations), (pmod(t1, lit(12)) + 1).cast("int")))
-      .withColumn("record_type", pmod(t2, lit(64)).cast("int"))
+        element_at(typedLit(Schemas.Operations), (pmod(mix(id, 3), lit(12)) + 1).cast("int")))
+      .withColumn("record_type", pmod(mix(id, 4), lit(64)).cast("int"))
       .withColumn("CreationTime",
         date_format(
-          timestamp_seconds(lit(BaseEpoch) + pmod(xxhash64(col("doc_id"), lit(3)), lit(SpanSeconds))),
+          timestamp_seconds(lit(BaseEpoch) + pmod(mix(id, 5), lit(SpanSeconds))),
           "yyyy-MM-dd'T'HH:mm:ss"))
       .withColumn("Policy",
         when(col("content_type") === Schemas.ContentTypes(0) &&
-             pmod(xxhash64(col("doc_id"), lit(11)), lit(10)) =!= 0,
-          when(pmod(t3, lit(4)) === 0, "Spoof").otherwise("Phish")))
+             pmod(mix(id, 6), lit(10)) =!= 0,
+          when(pmod(mix(id, 7), lit(4)) === 0, "Spoof").otherwise("Phish")))
   }
 
   /**

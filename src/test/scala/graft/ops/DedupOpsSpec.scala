@@ -60,6 +60,31 @@ class DedupOpsSpec extends SparkSuite {
     assert(expected.subsetOf(got))
   }
 
+  test("simhashNearDups recall is 1.0 up to maxHamming (pigeonhole chunk derivation)") {
+    // perturbed near-copies produce pairs across the hamming spectrum,
+    // including beyond the old fixed-4-chunk guarantee of <=3
+    val base = docs.limit(60).select("doc_id", "text")
+    val perturbed = base.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" zzq wxv")).as("text"))
+    val d = base.unionByName(perturbed)
+    val sigs = d.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash64(col("text")).as("sig"))
+    val brute = sigs.toDF("id_a", "sig_a")
+      .crossJoin(sigs.toDF("id_b", "sig_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("h", DedupOps.hamming(col("sig_a"), col("sig_b")))
+      .filter(col("h") <= 5)
+      .select("id_a", "id_b", "h").as[(Long, Long, Int)].collect()
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    val got = DedupOps.simhashNearDups(d, "doc_id", "text", maxHamming = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === bruteSet, "chunk banding must find EXACTLY the brute-force pairs")
+    val beyondOldGuarantee = brute.filter(t => t._3 >= 4 && t._3 <= 5)
+    assert(beyondOldGuarantee.nonEmpty,
+      "fixture must exercise hamming 4-5 (the old 4-chunk layout missed these)")
+    info(s"pairs at hamming<=5: ${brute.length}, of which 4-5: ${beyondOldGuarantee.length}")
+  }
+
   test("ngramJaccardPairs: verified counts are exact set sizes") {
     val df = Seq((1L, "a b c d", "g"), (2L, "a b c e", "g"), (3L, "x y z w", "g"))
       .toDF("doc_id", "text", "lang")

@@ -71,4 +71,38 @@ class PlanSpec extends SparkSuite {
     assert(plan.matches("(?s).*Join \\[band#\\d+, band_hash#\\d+L?\\].*"),
       s"plan:\n$plan")
   }
+
+  test("minhash LSH band exchange carries no array column (ids-only candidate join)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // force the shuffled-join path (what a 100 TB corpus would take) so the
+    // exchange payload is actually observable at this tiny test size; AQE
+    // off so executedPlan is the concrete plan (AdaptiveSparkPlanExec hides
+    // its inner tree from TreeNode.collect)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // every exchange keyed on the band columns must ship a row of scalars;
+    // shingle/signature arrays may only cross the per-pair fetch joins.
+    // (executedPlan is forced inside the try — it is lazy.)
+    val bandExchanges =
+      try graft.ops.DedupOps.minhashNearDups(docs, "doc_id", "text")
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+            if e.child.output.exists(_.name == "band_hash") => e
+        }
+      finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    assert(bandExchanges.nonEmpty, "expected a shuffled band-bucket exchange")
+    val offenders = bandExchanges.flatMap(_.child.output.filter(a =>
+      a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+    assert(offenders.isEmpty,
+      s"band exchange ships arrays: ${offenders.map(_.name).mkString(", ")}")
+    // and the banding scan itself must not compute shingles (column pruned)
+    val bandSideHasShingles = bandExchanges.exists(
+      _.child.toString.contains("shingle_hashes"))
+    assert(!bandSideHasShingles, "banding branch must not materialize shingles")
+  }
 }

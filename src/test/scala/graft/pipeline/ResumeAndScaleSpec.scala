@@ -59,11 +59,13 @@ class ResumeAndScaleSpec extends SparkSuite {
     val a = plain.select("doc_id", "handler")
     val b = salted.select("doc_id", "handler")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
-    // the salted join key has salts x more distinct values than content_type
-    val keyCard = fact.withColumn("__salt",
-      pmod(xxhash64(col("doc_id")), lit(8)).cast("int"))
-      .select("content_type", "__salt").distinct().count()
-    assert(keyCard === 5L * 8)
+    // the salted join key splits each hot key: the DOMINANT type must hit
+    // all 8 salt buckets (rare types may not populate every bucket at this
+    // fixture size — that's fine; salting exists for the hot keys)
+    val domSalts = fact.filter(col("content_type") === "Audit.General")
+      .withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(8)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(domSalts === 8L)
   }
 
   test("window-partitioned layout prunes the scan to requested windows") {
