@@ -185,6 +185,30 @@ object SparkEntry {
           get_json_object(col("props"), "$.device").as("device"))
         .orderBy("event_id")),
 
+    "q_json_corrupt" -> ((s, d) => {
+      // F1/ST6: PERMISSIVE JSON parse with poison-row quarantine. Every
+      // 7th event's payload is deterministically corrupted; from_json
+      // returns NULL for those (never throws), splitting the batch into
+      // parsed/quarantined — the reference's warn-and-skip as a column op.
+      val ev = t(s, d, "events")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))
+      val payload = when(pmod(col("event_id"), lit(7)) === 0,
+          concat(lit("!corrupt!"), substring(col("props"), 1, 5)))
+        .otherwise(col("props"))
+      ev.select(col("event_type"), payload.as("payload"))
+        .withColumn("ok", JsonIngest.isParsable(col("payload"), schema))
+        .withColumn("rec", from_json(col("payload"), schema))
+        .select(col("event_type"),
+          when(col("ok"), "parsed").otherwise("quarantined").as("status"),
+          when(col("ok"), coalesce(col("rec.k"), lit(0))).otherwise(lit(0))
+            .cast("long").as("k"))
+        .groupBy("event_type", "status")
+        .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"))
+        .orderBy("event_type", "status")
+    }),
+
     "q_hash_md5" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), md5(col("text")).as("text_md5"))
@@ -517,6 +541,21 @@ object SparkEntry {
          FROM events ORDER BY event_id""",
     "q_hash_md5" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
+    // DuckDB's json_extract ERRORS on malformed JSON (no PERMISSIVE mode),
+    // so validity is gated explicitly with json_valid — same split as
+    // Spark's from_json-IS-NULL.
+    "q_json_corrupt" ->
+      """WITH p AS (SELECT event_type,
+           CASE WHEN event_id % 7 = 0 THEN '!corrupt!' || substring(props, 1, 5)
+                ELSE props END AS payload
+         FROM events)
+         SELECT event_type,
+           CASE WHEN json_valid(payload) THEN 'parsed' ELSE 'quarantined' END AS status,
+           count(*) AS cnt,
+           CAST(sum(CASE WHEN json_valid(payload)
+                         THEN CAST(json_extract(payload, '$.k') AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sum_k
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, min(lang) AS lang FROM (
            SELECT doc_id, text, lang FROM documents
