@@ -112,26 +112,73 @@ object SimilarityOps {
   }
 
   /**
+   * k-means centroids for the IVF coarse quantizer, trained FAISS-style on
+   * a hash-selected sample (~64 points per centroid) rather than the full
+   * corpus — at 10^12 vectors the training shuffles touch only the sample.
+   *
+   *  - init: `k` points chosen by hash order over the whole id space (a
+   *    deterministic spread, not an id-prefix sample — prefixes correlate
+   *    with insertion order and collapse recall);
+   *  - `iters` Lloyd rounds: broadcast centroids → per-point argmax by
+   *    cosine (narrow) → element-wise mean per cluster (posexplode +
+   *    two-level aggregate, shuffled only over the sample);
+   *  - clusters that lose all points drop out (k shrinks, never crashes).
+   *
+   * Returns (cid, cv). The result is broadcast by the callers, so size it
+   * like any broadcast table: nCentroids × dim × 4B ≤ ~100 MB — beyond
+   * that a hierarchical (two-level) quantizer is the right tool.
+   */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    require(k > 0 && iters >= 0)
+    val n = vecs.count()
+    val mod = 1000000L
+    val target = math.min(n, 64L * k)
+    val thresh = if (n == 0) mod else math.min(mod, mod * target / n + 1)
+    val train = vecs.filter(pmod(xxhash64(col("id"), lit(17)), lit(mod)) < thresh)
+    var cents = train
+      .orderBy(pmod(xxhash64(col("id"), lit(31)), lit(mod)), col("id"))
+      .limit(k).select(col("id").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = train.join(broadcast(cents))
+        .withColumn("csim", cosineFast(col("v"), col("cv")))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))))
+        .filter(col("crank") === 1)
+      cents = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), p => p.getField("m").cast("float")).as("cv"))
+    }
+    cents
+  }
+
+  /**
    * IVF-style ANN top-k: the inverted-file scale path. Each vector is
-   * assigned ("homed") to its nearest of `nCentroids` centroids; a query
-   * probes its `nProbe` nearest centroids and ranks only the vectors homed
-   * there. Centroids here are a deterministic id-ordered sample (a real
-   * deployment would run k-means — the index/probe plumbing is identical);
-   * they are tiny and broadcast, so assignment is a narrow stage and the
-   * only shuffle is the candidate join keyed on centroid id — at 100 TB
-   * that is the partition layout of the inverted file.
+   * assigned ("homed") to its nearest of `nCentroids` k-means centroids; a
+   * query probes its `nProbe` nearest centroids and ranks only the vectors
+   * homed there. Centroids are tiny and broadcast, so assignment is a
+   * narrow stage and the only full-corpus shuffle is the candidate join
+   * keyed on centroid id — at 100 TB that is the partition layout of the
+   * inverted file.
    */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+              k: Int, nCentroids: Int, nProbe: Int,
+              kmeansIters: Int = 2, nHome: Int = 2): DataFrame = {
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cents = vecs.orderBy("id").limit(nCentroids)
-      .select(col("id").as("cid"), col("v").as("cv"))
+    val cents = kmeansCentroids(vecs, nCentroids, kmeansIters)
     // rank centroids per vector by cosine (broadcast nested loop, narrow)
     val ranked = vecs.join(broadcast(cents))
       .withColumn("csim", cosineFast(col("v"), col("cv")))
       .withColumn("crank", row_number().over(
         Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))))
-    val homed = ranked.filter(col("crank") === 1)
+    // multi-assignment ("spill"): each vector lives in its nHome nearest
+    // lists — index is nHome× bigger, but boundary neighbors stop being
+    // missed (the standard recall lever when the data has weak cluster
+    // structure; FAISS calls this replication / multi-assignment)
+    val homed = ranked.filter(col("crank") <= nHome)
       .select(col("cid"), col("id").as("neighbor_id"), col("v").as("cv2"))
     val probes = ranked.filter(col("crank") <= nProbe)
       .select(col("cid"), col("id").as("query_id"), col("v").as("qv"))
