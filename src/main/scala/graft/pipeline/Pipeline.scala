@@ -30,6 +30,11 @@ object Pipeline {
     saltBuckets: Int = 8,
     tenant: String = "MyTenant",
     skipKnownLogs: Boolean = true,
+    // also collapse duplicate ids WITHIN one run (reference semantics:
+    // sequential contains_key+insert drops in-run repeats too). Off by
+    // default — it costs an exchange, and the engine's own sources carry
+    // unique ids; enable for sources that can repeat ids in one batch.
+    dedupWithinRun: Boolean = false,
     enabledTypes: Seq[String] = Schemas.ContentTypes,
     duplicate: Int = 1,
     nowEpochSec: Long = Parse.BaseEpoch + Parse.SpanSeconds,
@@ -59,9 +64,9 @@ object Pipeline {
 
   /**
    * Full run: read → dedup → parse → filter → route → write sinks →
-   * commit state. Returns observed per-stage counts (the reference's
-   * found/saved statistics) computed via `observe` — they piggyback on the
-   * write actions instead of costing extra passes.
+   * commit state. Returns per-stage counts (the reference's found/saved
+   * statistics) computed as cheap aggregations over the persisted filtered
+   * set plus parquet-footer counts — no extra full pass over the input.
    */
   def run(spark: SparkSession, sequences: DataFrame, outDir: String,
           cfg: Config = Config()): Result = {
@@ -70,7 +75,9 @@ object Pipeline {
 
     val fresh =
       if (cfg.skipKnownLogs)
-        state.dedup(sequences, state.load(spark, cfg.nowEpochSec))
+        state.dedup(sequences, state.load(spark, cfg.nowEpochSec),
+          withinBatch = cfg.dedupWithinRun)
+      else if (cfg.dedupWithinRun) sequences.dropDuplicates("doc_id")
       else sequences
 
     // Row multiplier for load testing (reference `duplicate`,

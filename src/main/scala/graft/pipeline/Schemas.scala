@@ -58,7 +58,8 @@ object Schemas {
     StructField("content_id", StringType, nullable = false),
     StructField("expiration", TimestampType, nullable = false),
     StructField("committed_at", TimestampType, nullable = false),
-    StructField("partition_id", IntegerType, nullable = false)))
+    StructField("partition_id", IntegerType, nullable = false),
+    StructField("snapshot_id", IntegerType, nullable = false)))
 
   /** Per-partition run metrics — mirrors RunStatistics
     * (reference: src/data_structures.rs:144-150). */

@@ -57,7 +57,9 @@ class StateStore(val dir: String) {
   /**
    * Load live (non-expired) state: union of all committed deltas. Mirrors
    * the reference's load-time expiry filter (src/config.rs:92-106): entries
-   * whose expiration <= now are dropped at load.
+   * whose expiration <= now are dropped at load. Valid when callers never
+   * re-commit an id (the pipeline's anti-join guarantees that); when ids
+   * can re-arrive with updated expirations, read through `loadResolved`.
    */
   def load(spark: SparkSession, nowEpochSec: Long): DataFrame = {
     val paths = livePaths
@@ -67,16 +69,74 @@ class StateStore(val dir: String) {
   }
 
   /**
+   * Time-travel read (Iceberg `VERSION AS OF` analog): the state as of
+   * snapshot `asOfSnapshot` — exactly the deltas 0..k, expiry-filtered at
+   * `nowEpochSec`. Because deltas are immutable and the pointer only ever
+   * advances, historic reads need no locks and see no torn state.
+   */
+  def loadAsOf(spark: SparkSession, nowEpochSec: Long, asOfSnapshot: Int): DataFrame = {
+    val paths = (0 to asOfSnapshot).map(snapshotPath)
+      .filter(p => Files.exists(Paths.get(p)))
+    if (paths.isEmpty) emptyState(spark)
+    else spark.read.parquet(paths: _*)
+      .filter(col("expiration") > timestamp_seconds(lit(nowEpochSec)))
+  }
+
+  /**
+   * MERGE-resolved read: last-writer-wins per content_id (highest
+   * snapshot_id), THEN the expiry filter — so a re-arrival that extended an
+   * id's expiration keeps it alive, and an id whose LATEST version expired
+   * is re-admitted even if an older unexpired version exists. This is the
+   * reference's `known_blobs.insert(id, new_expiry)` overwrite
+   * (src/config.rs:58-119) expressed as read-side resolution over
+   * fast-append deltas — the same trick Iceberg's merge-on-read uses:
+   * writes stay O(batch), the resolve window runs once per load, and
+   * `compact()` folds the history away.
+   */
+  def loadResolved(spark: SparkSession, nowEpochSec: Long): DataFrame = {
+    val paths = livePaths
+    if (paths.isEmpty) emptyState(spark)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("content_id")
+        .orderBy(col("snapshot_id").desc, col("committed_at").desc)
+      spark.read.parquet(paths: _*)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .filter(col("expiration") > timestamp_seconds(lit(nowEpochSec)))
+    }
+  }
+
+  /**
+   * MERGE-shaped upsert: matched ids get their expiration replaced, new ids
+   * are inserted — without rewriting any existing file. Physically this is
+   * just `commit` (an O(batch) fast-append delta); the merge semantics live
+   * in `loadResolved`'s last-writer-wins. Returns the new snapshot id.
+   */
+  def merge(spark: SparkSession, incoming: DataFrame, idCol: String,
+            expirationEpochSec: Long, commitEpochSec: Long): Int =
+    commit(spark, incoming, idCol, expirationEpochSec, commitEpochSec)
+
+  /**
    * Dedup: anti-join incoming rows against known content ids
    * (SURVEY.md §2.3 J1 — the reference's `known_blobs.contains_key` probe
    * IS a broadcast hash anti-join). While state is small Catalyst/AQE picks
    * BroadcastHashJoin; at 10^12-scale state it degrades gracefully to a
    * shuffled hash/sort-merge anti-join on the id — no code change.
    */
-  def dedup(incoming: DataFrame, known: DataFrame, idCol: String = "doc_id"): DataFrame =
-    incoming.join(
+  def dedup(incoming: DataFrame, known: DataFrame, idCol: String = "doc_id",
+            withinBatch: Boolean = false): DataFrame = {
+    // withinBatch=true also collapses duplicate ids WITHIN the incoming
+    // batch — the reference's sequential contains_key+insert drops repeats
+    // inside a run too (src/collector.rs:161). Off by default: it costs an
+    // exchange on the id, and the engine's own sources (listing scans,
+    // file batches) carry unique ids. Turn it on for sources that can
+    // repeat ids within one batch.
+    val in = if (withinBatch) incoming.dropDuplicates(idCol) else incoming
+    in.join(
       known.select(col("content_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+  }
 
   /**
    * Commit: write `newlyRouted` ids as delta snapshot N+1, atomically swap
@@ -94,16 +154,24 @@ class StateStore(val dir: String) {
         col(idCol).cast("string").as("content_id"),
         timestamp_seconds(lit(expirationEpochSec)).as("expiration"),
         timestamp_seconds(lit(commitEpochSec)).as("committed_at"),
-        spark_partition_id().as("partition_id"))
+        spark_partition_id().as("partition_id"),
+        lit(next).as("snapshot_id"))
       .write.mode("overwrite").parquet(snapshotPath(next))
     swapPointer(next)
     next
   }
 
   /** Fold all deltas into a single snapshot (Iceberg `rewrite_data_files`
-    * analog) — run periodically so `load` unions O(1) directories. */
+    * analog) — run periodically so `load` unions O(1) directories. Shadowed
+    * versions (ids re-committed via `merge`) are dropped: only the
+    * last-writer row survives, like an Iceberg rewrite after MERGE. */
   def compact(spark: SparkSession): Unit = currentSnapshot.foreach { n =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("content_id")
+      .orderBy(col("snapshot_id").desc, col("committed_at").desc)
     val merged = spark.read.parquet(livePaths: _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
     merged.write.mode("overwrite").parquet(snapshotPath(n + 1))
     swapPointer(n + 1)
     (0 to n).foreach { i =>

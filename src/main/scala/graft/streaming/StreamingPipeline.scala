@@ -43,31 +43,56 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val fresh =
-          if (cfg.skipKnownLogs) state.dedup(batch, state.load(spark, cfg.nowEpochSec))
-          else batch
-        val inflated =
-          if (cfg.duplicate > 1)
-            fresh.withColumn("__dup", explode(array_repeat(lit(1), cfg.duplicate)))
-              .drop("__dup")
-          else fresh
-        val routed = Pipeline.routedRecords(inflated, cfg.rules, cfg.enabledTypes)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          // per-batch OVERWRITE into a batch_id partition directory: a
-          // foreachBatch retry after a partial write re-writes the same
-          // directory instead of appending duplicates (idempotent replay —
-          // the batch path gets the same property from mode("overwrite"))
-          routed.write.mode("overwrite").parquet(s"$outDir/routed/batch_id=$batchId")
-          Sinks.prtgShape(routed)
-            .write.mode("overwrite").parquet(s"$outDir/prtg_batches/batch_id=$batchId")
-          routedTotal.addAndGet(routed.count())
-          // commit all received ids (filtered rows included — reference
-          // semantics, src/collector.rs:161) strictly after the writes
-          state.commit(spark, fresh.select("doc_id"), "doc_id",
-            cfg.expirationEpochSec, cfg.nowEpochSec)
-          ()
-        } finally routed.unpersist()
+        // Exactly-once across EVERY crash window. The commit order is
+        //   sink writes → state commit → batch marker → (engine) offsets.
+        // Replays are disambiguated without trusting the dedup state:
+        //  - marker present: this batch fully committed before the crash
+        //    (offset commit was lost) → skip everything;
+        //  - marker absent but the batch dir exists AND the anti-join
+        //    absorbs the whole batch: the crash hit between state commit
+        //    and marker — the previous outputs are complete; overwriting
+        //    them with the now-empty `fresh` would DELETE them. Keep them.
+        //  - otherwise: (re)write; mode("overwrite") makes partial-write
+        //    retries idempotent.
+        val markerDir = java.nio.file.Paths.get(s"$outDir/_batches")
+        val marker = markerDir.resolve(s"batch-$batchId")
+        val batchDir = java.nio.file.Paths.get(s"$outDir/routed/batch_id=$batchId")
+        if (!java.nio.file.Files.exists(marker)) {
+          val fresh =
+            if (cfg.skipKnownLogs) state.dedup(batch, state.load(spark, cfg.nowEpochSec))
+            else batch
+          val replayAfterStateCommit =
+            java.nio.file.Files.exists(batchDir) && fresh.isEmpty
+          if (!replayAfterStateCommit) {
+            val inflated =
+              if (cfg.duplicate > 1)
+                fresh.withColumn("__dup", explode(array_repeat(lit(1), cfg.duplicate)))
+                  .drop("__dup")
+              else fresh
+            val routed = Pipeline.routedRecords(inflated, cfg.rules, cfg.enabledTypes)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              routed.write.mode("overwrite").parquet(batchDir.toString)
+              Sinks.prtgShape(routed)
+                .write.mode("overwrite").parquet(s"$outDir/prtg_batches/batch_id=$batchId")
+              routedTotal.addAndGet(routed.count())
+              // commit all received ids (filtered rows included — reference
+              // semantics, src/collector.rs:161) strictly after the writes
+              state.commit(spark, fresh.select("doc_id"), "doc_id",
+                cfg.expirationEpochSec, cfg.nowEpochSec)
+              ()
+            } finally routed.unpersist()
+          }
+          // durable batch-completion marker (atomic create-and-move, like
+          // the state pointer swap)
+          java.nio.file.Files.createDirectories(markerDir)
+          val tmp = markerDir.resolve(s"batch-$batchId.tmp")
+          java.nio.file.Files.write(tmp, Array.emptyByteArray)
+          java.nio.file.Files.move(tmp, marker,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        ()
       }
       .start()
     q.awaitTermination()

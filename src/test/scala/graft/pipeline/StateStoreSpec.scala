@@ -69,4 +69,59 @@ class StateStoreSpec extends SparkSuite {
     val state = st.load(spark, now)
     assert(state.filter(col("partition_id").isNull || col("committed_at").isNull).count() === 0)
   }
+
+  test("dedup withinBatch=true collapses in-run repeats (reference contains_key+insert)") {
+    val st = new StateStore(tmpDir("st"))
+    val incoming = Seq("a", "a", "b", "b", "b", "c").toDF("doc_id")
+    val fresh = st.dedup(incoming, st.load(spark, now), withinBatch = true)
+    assert(fresh.as[String].collect().sorted === Array("a", "b", "c"))
+    // default path documents the divergence: repeats pass through
+    val loose = st.dedup(incoming, st.load(spark, now))
+    assert(loose.count() === 6)
+  }
+
+  test("merge: re-arrival updates expiration via last-writer-wins (MERGE upsert)") {
+    val st = new StateStore(tmpDir("st"))
+    st.commit(spark, Seq("a", "b").toDF("doc_id"), "doc_id",
+      expirationEpochSec = now + 100, commitEpochSec = now)
+    // 'a' re-arrives with a LONGER expiration (the reference overwrites
+    // known_blobs[id]); 'b' keeps the short one
+    st.merge(spark, Seq("a").toDF("doc_id"), "doc_id",
+      expirationEpochSec = now + 10000, commitEpochSec = now + 1)
+    // at now+200: b's only version expired; a's LATEST version is alive
+    val live = st.loadResolved(spark, now + 200)
+    assert(live.select("content_id").as[String].collect() === Array("a"))
+    // exactly one resolved row per id before expiry too
+    val resolved = st.loadResolved(spark, now)
+    assert(resolved.count() === 2)
+    assert(resolved.filter(col("content_id") === "a")
+      .select(col("expiration").cast("long")).as[Long].head() === now + 10000)
+  }
+
+  test("merge then compact drops shadowed versions, preserving resolution") {
+    val st = new StateStore(tmpDir("st"))
+    st.commit(spark, Seq("a", "b").toDF("doc_id"), "doc_id", now + 100, now)
+    st.merge(spark, Seq("a").toDF("doc_id"), "doc_id", now + 10000, now + 1)
+    st.compact(spark)
+    // compaction keeps one row per id — the last writer's
+    val all = spark.read.parquet(s"${st.dir}/snapshot-${st.currentSnapshot.get}")
+    assert(all.count() === 2)
+    assert(all.filter(col("content_id") === "a")
+      .select(col("expiration").cast("long")).as[Long].head() === now + 10000)
+    assert(st.loadResolved(spark, now + 200)
+      .select("content_id").as[String].collect() === Array("a"))
+  }
+
+  test("time travel: loadAsOf(k) sees exactly snapshots 0..k") {
+    val st = new StateStore(tmpDir("st"))
+    st.commit(spark, Seq("a").toDF("doc_id"), "doc_id", future, now)
+    st.commit(spark, Seq("b").toDF("doc_id"), "doc_id", future, now)
+    st.commit(spark, Seq("c").toDF("doc_id"), "doc_id", future, now)
+    assert(st.loadAsOf(spark, now, 0).select("content_id").as[String].collect().sorted
+      === Array("a"))
+    assert(st.loadAsOf(spark, now, 1).select("content_id").as[String].collect().sorted
+      === Array("a", "b"))
+    assert(st.loadAsOf(spark, now, 2).select("content_id").as[String].collect().sorted
+      === Array("a", "b", "c"))
+  }
 }

@@ -56,6 +56,47 @@ class StreamingPipelineSpec extends SparkSuite {
     assert(routedN === batchEquiv)
   }
 
+  test("replay after state-commit crash never deletes committed batch outputs") {
+    val in = tmpDir("stream_in7"); val out = tmpDir("stream_out7")
+    writeBatch(in, 0, 800)
+    StreamingPipeline.runAvailableNow(spark, in, out, maxFilesPerTrigger = 1)
+    val routedBefore = spark.read.parquet(s"$out/routed").count()
+    assert(routedBefore > 0)
+    // simulate the worst crash window: the LAST micro-batch fully committed
+    // its sinks AND dedup state, but died before the batch marker / engine
+    // offset commit — on restart the engine replays that batch, whose rows
+    // are now fully absorbed by the anti-join (fresh is empty)
+    val lastBatch = new java.io.File(s"$out/_checkpoint/commits").listFiles()
+      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).max
+    val ckCommits = java.nio.file.Paths.get(s"$out/_checkpoint/commits/$lastBatch")
+    val marker = java.nio.file.Paths.get(s"$out/_batches/batch-$lastBatch")
+    assert(java.nio.file.Files.deleteIfExists(ckCommits))
+    // also the Hadoop checksum sidecar, or the re-commit rename fails
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$out/_checkpoint/commits/.$lastBatch.crc"))
+    assert(java.nio.file.Files.deleteIfExists(marker))
+    StreamingPipeline.runAvailableNow(spark, in, out, maxFilesPerTrigger = 1)
+    // the replayed batch must NOT overwrite batch_id=0 with an empty set
+    assert(spark.read.parquet(s"$out/routed").count() === routedBefore,
+      "replayed batch deleted previously committed rows")
+    assert(java.nio.file.Files.exists(marker), "replay must re-create the marker")
+  }
+
+  test("replay of a fully marked batch is skipped entirely") {
+    val in = tmpDir("stream_in8"); val out = tmpDir("stream_out8")
+    writeBatch(in, 0, 400)
+    StreamingPipeline.runAvailableNow(spark, in, out, maxFilesPerTrigger = 1)
+    val routedBefore = spark.read.parquet(s"$out/routed").count()
+    val stateBefore = new StateStore(s"$out/state").currentSnapshot
+    // lose only the engine's offset commit; marker intact
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$out/_checkpoint/commits/0"))
+    StreamingPipeline.runAvailableNow(spark, in, out, maxFilesPerTrigger = 1)
+    assert(spark.read.parquet(s"$out/routed").count() === routedBefore)
+    // skipped batch must not advance dedup state either
+    assert(new StateStore(s"$out/state").currentSnapshot === stateBefore)
+  }
+
   test("windowed counts with watermark match the batch 24h window split") {
     val in = tmpDir("stream_in3"); val out = tmpDir("stream_out3")
     writeBatch(in, 0, 2000)
