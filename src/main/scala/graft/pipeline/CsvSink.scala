@@ -51,19 +51,48 @@ object CsvSink {
    * Separated mode: one CSV directory per content type present, named with
    * the reference's postfix scheme. `configuredPath` plays the role of the
    * config's output.file.path ("output.csv" → stem "output").
+   *
+   * ONE pass over the input: a single `partitionBy` write splits the types
+   * (content_type is duplicated into the partition column so it also stays
+   * in the file payload, matching unified mode), then the partition
+   * directories are renamed to the reference's naming. Types with no rows
+   * produce no directory — the reference's skip-empty behavior
+   * (src/interfaces/file_interface.rs:92-94) — instead of the old
+   * discover-distinct scan + one filtered pass per type.
    */
   def writeSeparated(df: DataFrame, configuredPath: String, separator: String = ",",
                      postfix: String = timestampPostfix()): Seq[String] = {
     val p = java.nio.file.Paths.get(configuredPath)
     val dir = Option(p.getParent).map(_.toString).getOrElse(".")
     val stem = p.getFileName.toString.stripSuffix(".csv")
-    val present = df.select("content_type").distinct()
-      .collect().map(_.getString(0)).sorted
-    present.map { ct =>
-      val path = s"$dir/${postfix}_${stem}_${ct.replace(".", "")}.csv"
-      writeUnified(df.filter(col("content_type") === ct), path, separator)
-      path
+    val tmp = s"$dir/.${stem}_${postfix}_parts"
+    flatten(df).withColumn("__ct_part", col("content_type"))
+      .write.mode("overwrite")
+      .partitionBy("__ct_part")
+      .option("header", "true").option("sep", separator)
+      .csv(tmp)
+    val partDirs = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("__ct_part="))
+      .sortBy(_.getName)
+    val out = partDirs.map { d =>
+      // partition values are URL-escaped in directory names
+      val ct = java.net.URLDecoder.decode(
+        d.getName.stripPrefix("__ct_part="), "UTF-8")
+      val target = java.nio.file.Paths.get(
+        s"$dir/${postfix}_${stem}_${ct.replace(".", "")}.csv")
+      if (java.nio.file.Files.exists(target)) {
+        java.nio.file.Files.walk(target)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      java.nio.file.Files.move(d.toPath, target)
+      target.toString
     }.toSeq
+    // tmp now holds only _SUCCESS markers
+    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    out
   }
 
   def timestampPostfix(): String =

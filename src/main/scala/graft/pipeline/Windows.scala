@@ -57,14 +57,23 @@ object Windows {
       date_format(to_timestamp(col(tsCol), "yyyy-MM-dd'T'HH:mm:ss"), "yyyy-MM-dd"))
       .write.mode("overwrite").partitionBy("window_date").parquet(path)
 
-  /** Read back only the windows in [startEpochSec, endEpochSec) — the
-    * partition filter prunes non-matching window directories at planning
-    * time (asserted in PlanSpec). */
+  /** Read back only the records in [startEpochSec, endEpochSec). Two-level
+    * filter: a DAY-granular partition filter prunes non-matching window
+    * directories at planning time (asserted in PlanSpec), then a
+    * record-level filter on `tsCol` enforces the exact bounds — without it,
+    * a non-midnight start leaked earlier same-day rows and a non-midnight
+    * end dropped the final partial day entirely. The partition filter's end
+    * date is INCLUSIVE so that partial last day survives pruning. */
   def readWindow(spark: SparkSession, path: String,
-                 startEpochSec: Long, endEpochSec: Long): DataFrame =
+                 startEpochSec: Long, endEpochSec: Long,
+                 tsCol: String = "CreationTime"): DataFrame = {
+    val ts = to_timestamp(col(tsCol), "yyyy-MM-dd'T'HH:mm:ss")
     spark.read.parquet(path)
       .filter(col("window_date") >=
         date_format(timestamp_seconds(lit(startEpochSec)), "yyyy-MM-dd") &&
-        col("window_date") <
-        date_format(timestamp_seconds(lit(endEpochSec)), "yyyy-MM-dd"))
+        col("window_date") <=
+        date_format(timestamp_seconds(lit(endEpochSec - 1)), "yyyy-MM-dd"))
+      .filter(ts >= timestamp_seconds(lit(startEpochSec)) &&
+              ts < timestamp_seconds(lit(endEpochSec)))
+  }
 }

@@ -25,6 +25,23 @@ class WindowsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Windows.plan(end, 0))
   }
 
+  test("readWindow enforces exact record bounds on non-day-aligned windows") {
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("win_unaligned")
+    val parsed = Parse.deriveFields(DataGen.sequences(spark, 2000L, 4))
+    Windows.writePartitionedByWindow(parsed, "CreationTime", s"$out/tbl")
+    // 07:00 on day 2 .. 05:00 on day 4 — both bounds mid-day
+    val start = Parse.BaseEpoch + 86400 + 7 * 3600
+    val stop = Parse.BaseEpoch + 3 * 86400 + 5 * 3600
+    val slice = Windows.readWindow(spark, s"$out/tbl", start, stop)
+    val ts = to_timestamp(col("CreationTime"), "yyyy-MM-dd'T'HH:mm:ss")
+    val expected = parsed.filter(
+      ts >= timestamp_seconds(lit(start)) && ts < timestamp_seconds(lit(stop)))
+    assert(expected.count() > 0)
+    assert(slice.count() === expected.count(),
+      "day-granular pruning must not leak earlier rows or drop the partial last day")
+  }
+
   test("planDf agrees with the Scala plan for every content type") {
     val hours = 100
     val expected = Windows.plan(end, hours)
