@@ -279,6 +279,34 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q_dedup_clusters" -> ((s, d) =>
+      // near-dup clustering: minhash pairs -> connected components; every
+      // doc labeled with its cluster's canonical (minimum) id
+      DedupOps.nearDupClusters(t(s, d, "documents"), "doc_id", "text",
+          n = 2, k = 8, bands = 4, minJaccardPct = 60)
+        .select(col("id"), col("cluster"),
+          col("is_canonical").cast("int").as("is_canonical"))
+        .orderBy("id")),
+
+    "q_sample_stratified" -> ((s, d) =>
+      // deterministic data mixing: per-language keep rates, reproducible
+      // across engines from the portable hash (no RNG state)
+      TrainingOps.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
+          Map("en" -> 500, "de" -> 250, "zh" -> 100), defaultPerMille = 1000)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    "q_pack_sequences" -> ((s, d) =>
+      // GPT-style packing: per-source token offsets + training-chunk range
+      TrainingOps.packSequences(
+          t(s, d, "documents")
+            .withColumn("n_tok", size(TextOps.words(col("text")))),
+          "doc_id", "n_tok", "source", capacity = 512)
+        .select(col("doc_id"), col("source"),
+          col("offset").cast("long").as("offset"),
+          col("chunk_first").cast("long").as("chunk_first"),
+          col("chunk_last").cast("long").as("chunk_last"))
+        .orderBy("doc_id")),
+
     "q_ann_top1" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       SimilarityOps.bruteForceTopK(e, e, "vec_id", "embedding", 1)
@@ -389,11 +417,13 @@ object SparkEntry {
         FROM h ORDER BY doc_id"""
   }
 
-  /** DuckDB reproduction of minhashNearDups(n=2, k=8, bands=4, 60%):
-    * shingle poly-hashes → 8 affine minhashes (A_i = 2654435761 mod P +
-    * 2i+1, B_i = 1013904223 + 7919i, i=0..7) → 4 band hashes of 2 rows →
-    * candidates where any band collides → exact Jaccard verify. */
-  private def minhashLshOracleSql: String = {
+  /** Shared DuckDB CTE prefix reproducing minhashNearDups(n=2, k=8,
+    * bands=4, 60%): shingle poly-hashes → 8 affine minhashes
+    * (A_i = 2654435761 mod P + 2i+1, B_i = 1013904223 + 7919i, i=0..7) →
+    * 4 band hashes of 2 rows → candidates where any band collides → exact
+    * Jaccard verify. Ends with a `pr(id_a, id_b, inter_size, union_size)`
+    * CTE (unordered). */
+  private def minhashPairsCtes: String = {
     val P = 1000000007L
     def a(i: Int) = 2654435761L % P + 2L * i + 1L
     def b(i: Int) = 1013904223L + 7919L * i
@@ -403,21 +433,39 @@ object SparkEntry {
     val bandCols = (0 until 4).map(bb =>
       s"(m${2 * bb} * 31 + m${2 * bb + 1}) % $P AS b$bb").mkString(", ")
     val anyBand = (0 until 4).map(bb => s"a.b$bb = b.b$bb").mkString(" OR ")
-    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
         s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i ->
             list_reduce(list_prepend(0::BIGINT, list_transform(
               string_split_regex(ws[i] || ' ' || ws[i+1], ''), c -> ascii(c)::BIGINT)),
               (acc, x) -> (acc * 31 + x) % $P))) AS sh FROM w),
         sig AS (SELECT doc_id, sh, $mins FROM s),
-        banded AS (SELECT doc_id, sh, $bandCols FROM sig)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        banded AS (SELECT doc_id, sh, $bandCols FROM sig),
+        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size,
           CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_size
         FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($anyBand)
         WHERE len(list_intersect(a.sh, b.sh)) * 100 >=
-              len(list_distinct(list_concat(a.sh, b.sh))) * 60
-        ORDER BY id_a, id_b"""
+              len(list_distinct(list_concat(a.sh, b.sh))) * 60)"""
   }
+
+  private def minhashLshOracleSql: String =
+    s"""WITH $minhashPairsCtes
+        SELECT id_a, id_b, inter_size, union_size FROM pr ORDER BY id_a, id_b"""
+
+  /** Connected components in SQL: transitive closure via a recursive CTE
+    * (min reachable doc id per node = the cluster label). */
+  private def dedupClustersOracleSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                  UNION ALL SELECT id_b, id_a FROM pr),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        )
+        SELECT id, min(r) AS cluster,
+               CAST(min(r) = id AS INT) AS is_canonical
+        FROM reach GROUP BY id ORDER BY id"""
 
   /** The flagship pipeline, reproduced end to end in DuckDB: the same
     * affine mixes (Parse.mix family, A_s = 2654435761 mod P + 2s+1,
@@ -613,6 +661,25 @@ object SparkEntry {
     // borderline pair). Band hash b = (m_{2b}*31 + m_{2b+1}) mod P, the
     // polynomial fold DedupOps.bandedSignature computes over the slice.
     "q_dedup_minhash_lsh" -> minhashLshOracleSql,
+    "q_dedup_clusters" -> dedupClustersOracleSql,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ((doc_id % 1000000007) * 654435794 + 1014086360) % 1000000007 % 1000 <
+           CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'zh' THEN 100
+                     ELSE 1000 END
+         ORDER BY doc_id""",
+    "q_pack_sequences" ->
+      """WITH n AS (SELECT doc_id, source,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+         FROM documents),
+         o AS (SELECT doc_id, source, n_tok,
+           CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+         FROM n)
+         SELECT doc_id, source, "offset",
+           "offset" // 512 AS chunk_first,
+           ("offset" + n_tok - 1) // 512 AS chunk_last
+         FROM o ORDER BY doc_id""",
     "q_dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws FROM documents),
          s AS (SELECT doc_id, lang, list_distinct(list_transform(range(1, len(ws)), i ->

@@ -167,6 +167,65 @@ object DedupOps {
    * This is the verification primitive — at scale you block first (LSH above
    * or a cheap key) and never run it all-pairs.
    */
+  /**
+   * Connected components over near-dup pairs → dedup CLUSTERS: every doc
+   * gets the minimum reachable doc id as its cluster label (the canonical
+   * survivor a training pipeline keeps). Docs in no pair are their own
+   * cluster.
+   *
+   * Algorithm: iterative min-label propagation with pointer jumping
+   * (label := label-of-label each round), the classic Spark CC shape —
+   * converges in O(log diameter) rounds; near-dup clusters have tiny
+   * diameters so 3-5 rounds typically suffice. Each round is two shuffles
+   * over the (small) pair set, never over the corpus; `localCheckpoint`
+   * truncates the growing lineage. Convergence is detected by a changed-
+   * label count (one cheap action per round, standard for iterative graph
+   * algorithms).
+   */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // min over neighbor labels
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("dl").as("nbr"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // pointer jump: label := label(label)
+      val jumped = stepped.as("s")
+        .join(stepped.select(col("id").as("label"), col("label").as("ll")).as("p"),
+          Seq("label"), "left_outer")
+        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
+        .localCheckpoint()
+      changed = jumped.as("n")
+        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = jumped
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup clustering: minhash LSH pairs → connected
+    * components over ALL docs (singletons keep their own id). Output:
+    * (id, cluster, is_canonical). */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2, k: Int = 8, bands: Int = 4,
+                      minJaccardPct: Int = 60): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, n, k, bands, minJaccardPct)
+    val nodes = df.select(col(idCol).as("id"))
+    connectedComponents(pairs, nodes)
+      .select(col("id"), col("label").as("cluster"),
+        (col("id") === col("label")).as("is_canonical"))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, minJaccardPct: Int): DataFrame = {
     val src = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(textCol).as("text"))

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data assembly operators: the steps between "cleaned corpus" and
+ * "tokens on the trainer" that a 100 TB pipeline runs after dedup/quality:
+ *
+ *  - stratified sampling (data mixing): deterministic per-stratum Bernoulli
+ *    keep-decision from a portable hash of the id — no RNG state, so the
+ *    sample is reproducible across engines/runs/partitionings and is a pure
+ *    scan-side filter (zero shuffle, pushes down);
+ *  - sequence packing (GPT-style concatenation): global token offsets per
+ *    shard, mapping each doc to the training-chunk range it lands in.
+ *
+ * Both use the engine-wide affine-mod-P hash family, so DuckDB oracles
+ * reproduce them exactly.
+ */
+object TrainingOps {
+
+  val P: Long = 1000000007L
+
+  /** Portable affine mix, same family as Parse/DedupOps. */
+  private def mix(id: Column, s: Int): Column =
+    pmod(pmod(id, lit(P)) * lit(2654435761L % P + 2L * s + 1L)
+      + lit(1013904223L + 7919L * s), lit(P))
+
+  /**
+   * Deterministic stratified sample: keep a row iff
+   * mix(id) mod 1000 < ratePerMille(stratum). Rates are a tiny driver-side
+   * map (like the routing rules) folded into one codegen'd predicate —
+   * data-mixing configs are per-source/per-language weights, a handful of
+   * entries. Strata absent from the map keep `defaultPerMille`.
+   *
+   * This is how you mix 100 TB: the filter runs in the scan stage of every
+   * file, no shuffle, no sort, no sampling pass — and re-running it (or
+   * running it on a different cluster) selects the SAME rows.
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       ratesPerMille: Map[String, Int],
+                       defaultPerMille: Int = 1000): DataFrame = {
+    require((ratesPerMille.values ++ Seq(defaultPerMille)).forall(r => r >= 0 && r <= 1000))
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(pmod(mix(col(idCol), 23), lit(1000)) < rate)
+  }
+
+  /**
+   * GPT-style sequence packing: documents are concatenated per shard (the
+   * `shardCol` — source, language, whatever the trainer shards on) in
+   * doc-id order, and chunked into fixed `capacity`-token training
+   * sequences that may straddle document boundaries. Output per doc:
+   *
+   *   offset       global token offset of the doc within its shard
+   *   chunk_first  index of the training chunk its first token lands in
+   *   chunk_last   index of the chunk its last token lands in
+   *
+   * The cumulative sum is a window per shard — at 100 TB shards bound the
+   * window's partition (never a global single-partition sort), and the
+   * window input is just (shard, id, n_tokens): three scalar columns.
+   */
+  def packSequences(df: DataFrame, idCol: String, nTokCol: String,
+                    shardCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0)
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("offset", coalesce(sum(col(nTokCol)).over(w), lit(0L)))
+      .withColumn("chunk_first", floor(col("offset") / capacity))
+      .withColumn("chunk_last",
+        floor((col("offset") + col(nTokCol) - 1) / capacity))
+  }
+}

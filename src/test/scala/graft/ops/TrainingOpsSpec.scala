@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class TrainingOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("stratifiedSample: deterministic, rate-respecting, scan-side") {
+    val rates = Map("en" -> 500, "de" -> 0)
+    val s1 = TrainingOps.stratifiedSample(docs, "doc_id", "lang", rates)
+    val s2 = TrainingOps.stratifiedSample(docs, "doc_id", "lang", rates)
+    // exact reproducibility (no RNG state)
+    assert(s1.select("doc_id").exceptAll(s2.select("doc_id")).isEmpty)
+    // rate 0 strata vanish; others keep roughly their per-mille
+    assert(s1.filter(col("lang") === "de").count() === 0)
+    val en = docs.filter(col("lang") === "en").count()
+    val enKept = s1.filter(col("lang") === "en").count()
+    assert(math.abs(enKept.toDouble / en - 0.5) < 0.15,
+      s"en keep rate ${enKept.toDouble / en} far from 0.5")
+    // default 1000 per mille: untouched strata keep everything
+    val fr = docs.filter(col("lang") === "fr").count()
+    assert(s1.filter(col("lang") === "fr").count() === fr)
+    // the predicate is a plain filter — no exchange in the plan
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
+  test("packSequences: offsets and chunk ranges, straddling chunk boundaries") {
+    val df = Seq(
+      (1L, 3L, "g"), (2L, 5L, "g"), (3L, 2L, "g"), // shard g: offsets 0,3,8
+      (10L, 6L, "h")                               // shard h independent
+    ).toDF("doc_id", "n_tok", "source")
+    val got = TrainingOps.packSequences(df, "doc_id", "n_tok", "source", capacity = 4)
+      .select("doc_id", "offset", "chunk_first", "chunk_last")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 0L, 0L, 0L),   // tokens 0..2 → chunk 0
+      (2L, 3L, 0L, 1L),   // tokens 3..7 straddle chunks 0 and 1
+      (3L, 8L, 2L, 2L),   // tokens 8..9 → chunk 2
+      (10L, 0L, 0L, 1L))) // shard h restarts at offset 0
+  }
+
+  test("connectedComponents: chains collapse to min id, singletons survive") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // chain
+                    (20L, 21L))                                       // separate pair
+      .toDF("id_a", "id_b")
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 20L, 21L, 99L)).toDF("id")
+    val got = DedupOps.connectedComponents(pairs, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(got(_) === 1L), s"chain labels: $got")
+    assert(got(20L) === 20L && got(21L) === 20L)
+    assert(got(99L) === 99L, "isolated node keeps its own label")
+  }
+
+  test("nearDupClusters labels every doc; canonical = cluster minimum") {
+    val clustered = DedupOps.nearDupClusters(docs, "doc_id", "text")
+    assert(clustered.count() === docs.count())
+    // cluster label is always <= member id and is itself a member
+    assert(clustered.filter(col("cluster") > col("id")).count() === 0)
+    val canon = clustered.filter(col("is_canonical"))
+    assert(canon.filter(col("cluster") =!= col("id")).count() === 0)
+    // pairs imply same cluster
+    val pairs = DedupOps.minhashNearDups(docs, "doc_id", "text")
+    val lab = clustered.select(col("id"), col("cluster"))
+    val mismatch = pairs
+      .join(lab.select(col("id").as("id_a"), col("cluster").as("ca")), Seq("id_a"))
+      .join(lab.select(col("id").as("id_b"), col("cluster").as("cb")), Seq("id_b"))
+      .filter(col("ca") =!= col("cb")).count()
+    assert(mismatch === 0, "near-dup pair split across clusters")
+  }
+}
