@@ -163,6 +163,27 @@ object Hashing {
     sig
   }
 
+  /** Packed intersection/union counts of two DISTINCT long arrays:
+    * (|a ∩ b| << 32) | |a ∪ b|. One hash-set build over the smaller array +
+    * one probe pass over the larger — replaces the
+    * size(array_intersect) + size(array_union) pair (two set builds, two
+    * probes, two materialized arrays) in the Jaccard verify hot loop.
+    * Inputs MUST be duplicate-free (shingle_hashes guarantees this);
+    * FunctionsSpec pins equality to the array_intersect/array_union
+    * formulation on such inputs. */
+  def jaccardCounts(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val (small, big, ns, nbig) = if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
+    val set = new java.util.HashSet[java.lang.Long](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getLong(i)); i += 1 }
+    var inter = 0
+    var j = 0
+    while (j < nbig) { if (set.contains(big.getLong(j))) inter += 1; j += 1 }
+    (inter.toLong << 32) | (na.toLong + nb - inter)
+  }
+
   /** Left-fold dot product in double — identical fold order (i = 0..n-1)
     * to aggregate(zip_with(...)), so results are bit-equal. Arrays are
     * float32 (`isFloat=true`) or float64 elements. */

@@ -102,6 +102,33 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Packed (|a∩b| << 32 | |a∪b|) over two DISTINCT array<long> columns —
+  * the fused Jaccard-verify kernel (see Hashing.jaccardCounts). */
+case class JaccardCountsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects two array<long>, got " +
+          s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.jaccardCounts(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Hashing.jaccardCounts($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class SimHashPolyExpr(child: Expression, bits: Int)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -208,6 +235,8 @@ object GraftFunctions {
     c(IntArrayJsonExpr(ColumnGlue.expression(a)))
   def lsh_signature(v: Column, bits: Int, offset: Int = 0): Column =
     c(LshSignatureExpr(ColumnGlue.expression(v), bits, offset))
+  def jaccard_counts(a: Column, b: Column): Column =
+    c(JaccardCountsExpr(ColumnGlue.expression(a), ColumnGlue.expression(b)))
   def dot_product(a: Column, b: Column): Column = c(DotProductExpr(ColumnGlue.expression(a), ColumnGlue.expression(b)))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimExpr(ColumnGlue.expression(a), ColumnGlue.expression(b)))
 }

@@ -100,11 +100,21 @@ object DedupOps {
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter_size", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("union_size", size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("inter_size") * 100 >= col("union_size") * minJaccardPct)
+      .transform(verifyJaccard(minJaccardPct))
       .select("id_a", "id_b", "inter_size", "union_size")
   }
+
+  /** Exact-Jaccard verify over (sh_a, sh_b): the fused jaccard_counts
+    * kernel (one set build + one probe per pair) unpacked into
+    * inter_size/union_size — ≡ size(array_intersect)/size(array_union) on
+    * the duplicate-free shingle arrays (FunctionsSpec pins equality). */
+  private def verifyJaccard(minJaccardPct: Int)(df: DataFrame): DataFrame =
+    df.withColumn("__jc",
+        graft.functions.GraftFunctions.jaccard_counts(col("sh_a"), col("sh_b")))
+      .withColumn("inter_size", shiftright(col("__jc"), 32).cast("int"))
+      .withColumn("union_size", col("__jc").bitwiseAND(0xFFFFFFFFL).cast("int"))
+      .filter(col("inter_size") * 100 >= col("union_size") * minJaccardPct)
+      .drop("__jc")
 
   /**
    * 64-bit SimHash over word hashes: bit j of the signature is the sign of
@@ -241,9 +251,7 @@ object DedupOps {
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter_size", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("union_size", size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("inter_size") * 100 >= col("union_size") * minJaccardPct)
+      .transform(verifyJaccard(minJaccardPct))
       .select("blk", "id_a", "id_b", "inter_size", "union_size")
   }
 }

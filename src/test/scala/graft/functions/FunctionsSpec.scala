@@ -37,6 +37,27 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("jaccard_counts ≡ size(array_intersect)/size(array_union) on distinct arrays") {
+    // all pairs of fixture shingle sets (duplicate-free by construction)
+    val sh = docs.limit(40).select(col("doc_id"),
+      shingle_hashes(col("text"), 2).as("sh"))
+    val pairs = sh.toDF("id_a", "sh_a").crossJoin(sh.toDF("id_b", "sh_b"))
+      .filter(col("id_a") <= col("id_b")) // include self-pairs (union == inter)
+    val diff = pairs.select(
+        jaccard_counts(col("sh_a"), col("sh_b")).as("jc"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("i"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("u"))
+      .filter(shiftright(col("jc"), 32) =!= col("i") ||
+              col("jc").bitwiseAND(0xFFFFFFFFL) =!= col("u"))
+      .count()
+    assert(diff === 0)
+    // empty-array edges
+    val e = Seq((Seq.empty[Long], Seq(1L, 2L)), (Seq.empty[Long], Seq.empty[Long]))
+      .toDF("a", "b")
+      .select(jaccard_counts(col("a"), col("b")).as("jc")).as[Long].collect()
+    assert(e(0) === 2L && e(1) === 0L)
+  }
+
   test("minhash_sig ≡ DedupOps.minhashSignature") {
     val diff = docs.select(
       minhash_sig(col("text"), 2, 8).as("a"),
