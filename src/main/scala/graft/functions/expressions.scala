@@ -15,6 +15,59 @@ import org.apache.spark.sql.types._
  * BASELINE.md). Semantics are identical to the HOF versions, pinned by
  * FunctionsSpec equality tests.
  */
+/** Numeric suffix of a `doc-%012d` id — see Hashing.docIdNum. */
+case class DocIdNumExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Hashing.docIdNum(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.docIdNum($c)")
+  override protected def withNewChildInternal(c: Expression): DocIdNumExpr = copy(c)
+}
+
+/** One audit-field derivation as a single static call — kind ∈
+  * {Ct, Wl, Op, Rt, Policy} (see Hashing audit kernels; keeping each
+  * filter-inlined occurrence to one call keeps the generated filter method
+  * under HotSpot's JIT bytecode limit). */
+case class AuditFieldExpr(child: Expression, kind: String)
+    extends UnaryExpression {
+  require(AuditFieldExpr.Kinds.contains(kind), s"unknown audit field: $kind")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    kind match {
+      case "Ct" => Hashing.auditCt(s)
+      case "Wl" => Hashing.auditWl(s)
+      case "Op" => Hashing.auditOp(s)
+      case "Rt" => Hashing.auditRt(s)
+      case "Policy" => Hashing.auditPolicy(s)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.audit$kind($c)")
+  override protected def withNewChildInternal(c: Expression): AuditFieldExpr =
+    copy(child = c)
+}
+
+object AuditFieldExpr {
+  val Kinds = Set("Ct", "Wl", "Op", "Rt", "Policy")
+}
+
+/** CreationTime epoch seconds of a doc-%012d id. */
+case class AuditTsExpr(child: Expression, baseEpoch: Long, spanSeconds: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Hashing.auditTs(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      baseEpoch, spanSeconds)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Hashing.auditTs($c, ${baseEpoch}L, ${spanSeconds}L)")
+  override protected def withNewChildInternal(c: Expression): AuditTsExpr =
+    copy(child = c)
+}
+
 case class PolyHashExpr(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -222,6 +275,11 @@ object RowJsonExpr {
 object GraftFunctions {
   private def c(e: Expression): Column = ColumnGlue.column(e)
   def poly_hash(s: Column): Column = c(PolyHashExpr(ColumnGlue.expression(s)))
+  def doc_id_num(s: Column): Column = c(DocIdNumExpr(ColumnGlue.expression(s)))
+  def audit_field(s: Column, kind: String): Column =
+    c(AuditFieldExpr(ColumnGlue.expression(s), kind))
+  def audit_ts(s: Column, baseEpoch: Long, spanSeconds: Long): Column =
+    c(AuditTsExpr(ColumnGlue.expression(s), baseEpoch, spanSeconds))
   def shingle_hashes(s: Column, n: Int): Column = c(ShingleHashesExpr(ColumnGlue.expression(s), n))
   def minhash_sig(s: Column, n: Int, k: Int): Column = c(MinHashSigExpr(ColumnGlue.expression(s), n, k))
   def simhash64(s: Column): Column = c(SimHash64Expr(ColumnGlue.expression(s)))

@@ -50,11 +50,15 @@ object JsonIngest {
    */
   def parse(df: DataFrame, payloadCol: String, schema: StructType)
       : (DataFrame, DataFrame) = {
-    val ok = isParsable(col(payloadCol), schema)
-    val parsed = df.filter(ok)
-      .withColumn("__rec", from_json(col(payloadCol), schema))
+    // ONE from_json per row per branch: the corrupt-record field rides the
+    // same struct used for the field projection (parsing twice — once to
+    // gate, once to extract — would double the JSON cost of the good path).
+    val withRec = df.withColumn("__rec", record(col(payloadCol), schema))
+    val ok = col("__rec").isNotNull && col("__rec").getField(CorruptCol).isNull
+    val parsed = withRec.filter(ok)
       .select(df.columns.map(col) :+ col("__rec.*"): _*)
-    val quarantined = df.filter(!ok)
+      .drop(CorruptCol)
+    val quarantined = withRec.filter(!ok).drop("__rec")
     (parsed, quarantined)
   }
 

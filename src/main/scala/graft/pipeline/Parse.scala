@@ -33,8 +33,15 @@ object Parse {
   private def affineA(s: Int): Long = 2654435761L % P + 2L * s + 1L
   private def affineB(s: Int): Long = 1013904223L + 7919L * s
 
-  /** Numeric index of a `doc-%012d` id (DataGen's format). */
-  def idNum(docId: Column): Column = substring(docId, 5, 12).cast("long")
+  /** Numeric index of a `doc-%012d` id (DataGen's format). Codegen'd
+    * byte-level digit parse — the derivations below get inlined a dozen+
+    * times into the pushed-down filter condition (where short-circuit
+    * evaluation forbids subexpression hoisting), so this must cost
+    * nanoseconds per occurrence; the substring(5,12).cast(long)
+    * formulation (same semantics, pinned in FunctionsSpec) made the whole
+    * pipeline 3.5x slower. */
+  def idNum(docId: Column): Column =
+    graft.functions.GraftFunctions.doc_id_num(docId)
 
   /** Portable affine mix s of the doc index: ((id mod P)*A_s + B_s) mod P.
     * (id mod P)*A_s < P * 7e8 < 2^63 — no overflow on any engine. */
@@ -43,9 +50,22 @@ object Parse {
 
   private def typedLit(xs: Seq[String]): Column = array(xs.map(lit): _*)
 
+  private def af(docId: Column, kind: String): Column =
+    graft.functions.GraftFunctions.audit_field(docId, kind)
+
   /** Skewed content-type pick: 50/20/15/10/5 % — the 50% dominant type
     * (Audit.General) exercises the salted-repartition / AQE skew path. */
-  def contentTypeCol(docId: Column): Column = {
+  def contentTypeCol(docId: Column): Column =
+    element_at(typedLit(Schemas.ContentTypes), af(docId, "Ct") + 1)
+
+  /** Column-arithmetic REFERENCE formulations of the derivations — what
+    * the audit kernels must equal bit-for-bit (pinned in FunctionsSpec and
+    * mirrored by the DuckDB oracles). Production uses the kernels: these
+    * expansions get inlined a dozen+ times into the pushed-down filter
+    * condition, whose generated method then exceeds HotSpot's 8K-bytecode
+    * JIT limit and runs interpreted (measured 22 s vs 1 s on a 4M-row
+    * filter). */
+  def contentTypeColRef(docId: Column): Column = {
     val h = pmod(mix(docId, 1), lit(100))
     when(h < 50, Schemas.ContentTypes(0))
       .when(h < 70, Schemas.ContentTypes(1))
@@ -53,6 +73,11 @@ object Parse {
       .when(h < 95, Schemas.ContentTypes(3))
       .otherwise(Schemas.ContentTypes(4))
   }
+
+  def policyColRef(docId: Column): Column =
+    when(contentTypeColRef(docId) === Schemas.ContentTypes(0) &&
+         pmod(mix(docId, 6), lit(10)) =!= 0,
+      when(pmod(mix(docId, 7), lit(4)) === 0, "Spoof").otherwise("Phish"))
 
   /**
    * Derive all audit fields. Input: sequences(doc_id, tokens, n_tok, source).
@@ -67,18 +92,17 @@ object Parse {
     df
       .withColumn("content_type", contentTypeCol(id))
       .withColumn("workload",
-        element_at(typedLit(Schemas.Workloads), (pmod(mix(id, 2), lit(6)) + 1).cast("int")))
+        element_at(typedLit(Schemas.Workloads), af(id, "Wl") + 1))
       .withColumn("operation",
-        element_at(typedLit(Schemas.Operations), (pmod(mix(id, 3), lit(12)) + 1).cast("int")))
-      .withColumn("record_type", pmod(mix(id, 4), lit(64)).cast("int"))
+        element_at(typedLit(Schemas.Operations), af(id, "Op") + 1))
+      .withColumn("record_type", af(id, "Rt"))
       .withColumn("CreationTime",
         date_format(
-          timestamp_seconds(lit(BaseEpoch) + pmod(mix(id, 5), lit(SpanSeconds))),
+          timestamp_seconds(graft.functions.GraftFunctions.audit_ts(id, BaseEpoch, SpanSeconds)),
           "yyyy-MM-dd'T'HH:mm:ss"))
       .withColumn("Policy",
-        when(col("content_type") === Schemas.ContentTypes(0) &&
-             pmod(mix(id, 6), lit(10)) =!= 0,
-          when(pmod(mix(id, 7), lit(4)) === 0, "Spoof").otherwise("Phish")))
+        when(af(id, "Policy") === 1, "Spoof")
+          .when(af(id, "Policy") === 2, "Phish"))
   }
 
   /**

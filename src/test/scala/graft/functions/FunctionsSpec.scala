@@ -37,6 +37,46 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("audit kernels ≡ the Column-arithmetic reference formulations") {
+    import graft.pipeline.{Parse, Schemas}
+    val ids = graft.pipeline.DataGen.sequences(spark, 5000L, 4).select("doc_id")
+    val id = col("doc_id")
+    val diff = ids.select(
+        audit_field(id, "Ct").as("ct"),
+        audit_field(id, "Wl").as("wl"),
+        audit_field(id, "Op").as("op"),
+        audit_field(id, "Rt").as("rt"),
+        audit_ts(id, Parse.BaseEpoch, Parse.SpanSeconds).as("ts"),
+        when(audit_field(id, "Policy") === 1, "Spoof")
+          .when(audit_field(id, "Policy") === 2, "Phish").as("pol"),
+        // reference formulations (what the DuckDB oracles reproduce)
+        when(pmod(Parse.mix(id, 1), lit(100)) < 50, 0)
+          .when(pmod(Parse.mix(id, 1), lit(100)) < 70, 1)
+          .when(pmod(Parse.mix(id, 1), lit(100)) < 85, 2)
+          .when(pmod(Parse.mix(id, 1), lit(100)) < 95, 3).otherwise(4).as("ct_ref"),
+        pmod(Parse.mix(id, 2), lit(6)).cast("int").as("wl_ref"),
+        pmod(Parse.mix(id, 3), lit(12)).cast("int").as("op_ref"),
+        pmod(Parse.mix(id, 4), lit(64)).cast("int").as("rt_ref"),
+        (lit(Parse.BaseEpoch) + pmod(Parse.mix(id, 5), lit(Parse.SpanSeconds))).as("ts_ref"),
+        Parse.policyColRef(id).as("pol_ref"))
+      .filter(col("ct") =!= col("ct_ref") || col("wl") =!= col("wl_ref") ||
+              col("op") =!= col("op_ref") || col("rt") =!= col("rt_ref") ||
+              col("ts") =!= col("ts_ref") ||
+              !(col("pol") <=> col("pol_ref")))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("doc_id_num ≡ substring(doc_id, 5, 12).cast(long) on generated ids") {
+    val ids = graft.pipeline.DataGen.sequences(spark, 3000L, 4).select("doc_id")
+      .union(Seq("doc-000000000000", "doc-999999999999", "doc-000000000007").toDF("doc_id"))
+    val diff = ids.select(
+        doc_id_num(col("doc_id")).as("a"),
+        substring(col("doc_id"), 5, 12).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
   test("jaccard_counts ≡ size(array_intersect)/size(array_union) on distinct arrays") {
     // all pairs of fixture shingle sets (duplicate-free by construction)
     val sh = docs.limit(40).select(col("doc_id"),
