@@ -138,7 +138,10 @@ object Bench {
     // exposes 32 vCPUs over ~16 physical cores, so 8→32 crosses the
     // SMT boundary and cannot scale 4x by construction (BASELINE.md allows
     // local[2] vs local[8] explicitly). Override with SPARK_GRAFT_SCALE_HI.
-    val probeRows = math.max(nRows, 4000000L)
+    // sized so the hi-level run still takes seconds: the audit-kernel
+    // optimizations made the compute ~650k rows/s/core-pair, and a probe
+    // that finishes in ~2s at hi measures scheduler overhead, not scaling
+    val probeRows = math.max(nRows, 16000000L)
     val hiProbe = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "8").toInt
     val lo = math.max(1, hiProbe / 4)
     // INTERLEAVE the lo/hi measurements (lo,hi,lo,hi,...) so both levels

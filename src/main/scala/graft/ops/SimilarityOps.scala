@@ -135,9 +135,15 @@ object SimilarityOps {
     val target = math.min(n, 64L * k)
     val thresh = if (n == 0) mod else math.min(mod, mod * target / n + 1)
     val train = vecs.filter(pmod(xxhash64(col("id"), lit(17)), lit(mod)) < thresh)
+    // localCheckpoint after init and each Lloyd round: centroids are tiny
+    // (k × dim floats) but their LINEAGE is a join+window+double-aggregate
+    // chain per round — left lazy, every downstream use (the homed/probe
+    // rankings reference cents twice) re-executes the whole chain, and the
+    // chain itself goes quadratic in `iters`.
     var cents = train
       .orderBy(pmod(xxhash64(col("id"), lit(31)), lit(mod)), col("id"))
       .limit(k).select(col("id").as("cid"), col("v").as("cv"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val assigned = train.join(broadcast(cents))
         .withColumn("csim", cosineFast(col("v"), col("cv")))
@@ -151,6 +157,7 @@ object SimilarityOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"),
           transform(col("pm"), p => p.getField("m").cast("float")).as("cv"))
+        .localCheckpoint()
     }
     cents
   }

@@ -1,0 +1,125 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/**
+ * Dev tool: the perf experiments behind the round-2 optimizations, kept
+ * runnable so regressions can be re-measured. Modes (first arg):
+ *
+ *   stages   — per-stage wall time of the probe compute at local[2]
+ *              (found the 22s interpreted filter; now ~4.5s)
+ *   parseab  — A/B the portable-affine parse vs the round-1 xxhash64
+ *              formulation inside the full compute (affine now 1.8x faster)
+ *   ngramab  — A/B single-join vs pair-first ngram Jaccard at sf0.1
+ *              (equal shape cost; fused jaccard_counts halved both)
+ *   cond     — dump the pushed-down filter condition's composition
+ *              (expression-occurrence counts; keep it JIT-small)
+ *
+ * All timings are best-of-N (additive steal-time noise on this host).
+ */
+object PerfLab {
+
+  private def time(f: => Any): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = args.headOption.getOrElse("stages") match {
+    case "stages"  => stages()
+    case "parseab" => parseAb()
+    case "ngramab" => ngramAb()
+    case "cond"    => cond()
+    case other     => sys.error(s"unknown mode $other")
+  }
+
+  private def stages(): Unit = {
+    val n = 4000000L
+    val spark = GraftSession.local(2, "perflab-stages")
+    val parts = 4
+    def seqs = DataGen.sequences(spark, n, parts)
+    Pipeline.routedRecords(DataGen.sequences(spark, 10000L, parts), DataGen.routingRules).count()
+    val stages = Seq[(String, () => Any)](
+      "gen_count" -> (() => seqs.count()),
+      "filter_count" -> (() => FilterStage.applyStatic(Parse.deriveFields(seqs), DataGen.routingRules).count()),
+      "routed_count" -> (() => Pipeline.routedRecords(seqs, DataGen.routingRules).count()),
+      "agg_full" -> (() => Pipeline.routedRecords(seqs, DataGen.routingRules)
+        .groupBy("content_type", "operation").count().count()))
+    for ((name, f) <- stages)
+      println(f"STAGE $name%-14s ${(1 to 2).map(_ => time(f())).min}%.2f s")
+    spark.stop()
+  }
+
+  /** Round-1 xxhash64-based derivation (reference for the A/B only). */
+  private def oldDerive(df: DataFrame): DataFrame = {
+    def typedLit(xs: Seq[String]): Column = array(xs.map(lit): _*)
+    val h = pmod(xxhash64(col("doc_id")), lit(100))
+    val ct = when(h < 50, Schemas.ContentTypes(0))
+      .when(h < 70, Schemas.ContentTypes(1))
+      .when(h < 85, Schemas.ContentTypes(2))
+      .when(h < 95, Schemas.ContentTypes(3))
+      .otherwise(Schemas.ContentTypes(4))
+    df.withColumn("content_type", ct)
+      .withColumn("operation",
+        element_at(typedLit(Schemas.Operations),
+          (pmod(col("tokens").getItem(1), lit(12)) + 1).cast("int")))
+      .withColumn("Policy",
+        when(col("content_type") === Schemas.ContentTypes(0) &&
+             pmod(xxhash64(col("doc_id"), lit(11)), lit(10)) =!= 0,
+          when(pmod(col("tokens").getItem(3), lit(4)) === 0, "Spoof").otherwise("Phish")))
+  }
+
+  private def parseAb(): Unit = {
+    val n = 4000000L
+    val spark = GraftSession.local(2, "perflab-parseab")
+    def run(derive: DataFrame => DataFrame): Long = {
+      val filtered = FilterStage.applyStatic(
+        derive(DataGen.sequences(spark, n, 4)), DataGen.routingRules)
+      Route.routed(filtered).groupBy("content_type", "operation").count().count()
+    }
+    run(oldDerive); run(Parse.deriveFields)
+    var bo = Double.MaxValue; var bn = Double.MaxValue
+    for (i <- 1 to 3) {
+      bo = math.min(bo, time(run(oldDerive)))
+      bn = math.min(bn, time(run(Parse.deriveFields)))
+      println(f"ROUND $i old(xxhash)=$bo%.2f new(affine-kernels)=$bn%.2f")
+    }
+    spark.stop()
+  }
+
+  private def ngramAb(): Unit = {
+    val spark = GraftSession.local(32, "perflab-ngramab")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").cache()
+    docs.count()
+    def shapeA(df: DataFrame): DataFrame = { // shingles ride the block join
+      val sh = df.select(col("lang").as("blk"), col("doc_id").as("id"),
+        graft.functions.GraftFunctions.shingle_hashes(col("text"), 2).as("sh"))
+      sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+        .join(sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b")), Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("inter_size", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("union_size", size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("inter_size") * 100 >= col("union_size") * 55)
+    }
+    var bestA = Double.MaxValue; var bestB = Double.MaxValue
+    for (i <- 1 to 3) {
+      bestA = math.min(bestA, time(shapeA(docs).count()))
+      bestB = math.min(bestB, time(graft.ops.DedupOps.ngramJaccardPairs(
+        docs, "doc_id", "text", "lang", 2, 55).count()))
+      println(s"ROUND $i bestA(single-join,unfused)=$bestA bestB(pair-first,fused)=$bestB")
+    }
+    spark.stop()
+  }
+
+  private def cond(): Unit = {
+    val spark = GraftSession.local(2, "perflab-cond")
+    val full = Pipeline.routedRecords(DataGen.sequences(spark, 1000L, 2), DataGen.routingRules)
+      .groupBy("content_type", "operation").count()
+    val condStr = full.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("Filter")).mkString("\n")
+    println("FILTERLEN=" + condStr.length)
+    for (tok <- Seq("auditfieldexpr", "docidnumexpr", "gentokensexpr", "pmod", "element_at"))
+      println(s"COUNT $tok = " + tok.r.findAllIn(condStr.toLowerCase).size)
+    spark.stop()
+  }
+}
