@@ -39,6 +39,14 @@ object Pipeline {
     duplicate: Int = 1,
     nowEpochSec: Long = Parse.BaseEpoch + Parse.SpanSeconds,
     expirationEpochSec: Long = Parse.BaseEpoch + 30L * 24 * 3600,
+    // persist the routed set once and serve all sinks from cache (the
+    // reference clones the batch per interface). With the round-2 audit
+    // kernels the full recompute is ~1.6s/10^6 rows while materializing
+    // the columnar cache costs ~5s — for scan-cheap derivation pipelines
+    // set false and let each concurrent sink job recompute scan-side
+    // (at 100 TB this trades executor memory/spill against N re-scans;
+    // keep true when the source scan dominates).
+    persistRouted: Boolean = true,
     // None = engine default: every sink shape is written (bench/test mode).
     // Some(outputConfig) = honor the reference's per-interface enablement:
     // only enabled record sinks are written; the file sink becomes a real
@@ -103,7 +111,9 @@ object Pipeline {
 
     // One materialization feeds all sinks + quarantine (the reference clones
     // the batch per interface, src/collector.rs:215-226; we persist once).
-    val filteredCached = filtered.persist(StorageLevel.MEMORY_AND_DISK)
+    val filteredCached =
+      if (cfg.persistRouted) filtered.persist(StorageLevel.MEMORY_AND_DISK)
+      else filtered
     val quarantineP = Route.quarantined(filteredCached)
     val routedP = Route.routed(filteredCached)
     val quarantine = quarantineP.drop("__pid")
@@ -111,7 +121,7 @@ object Pipeline {
     try {
       // Materialize the shared cache once (otherwise the first concurrent
       // sink job would build it while the others wait on cache locks).
-      cached.count()
+      if (cfg.persistRouted) cached.count()
 
       // Fan out the sink writes as CONCURRENT jobs — the reference's
       // interfaces all consume the same batch in parallel
@@ -192,6 +202,6 @@ object Pipeline {
         rowsQuarantined = rowsFiltered - rowsRouted,
         rowsRouted = rowsRouted)
       Result(stats, Some(snap))
-    } finally filteredCached.unpersist()
+    } finally if (cfg.persistRouted) { filteredCached.unpersist(); () }
   }
 }
