@@ -388,12 +388,14 @@ object SparkEntry {
         .orderBy("content_type", "operation")),
 
     "q_media_decode" -> ((s, d) => {
-      // multimodal plumbing — synthetic binary, stubbed decode; rows-only
+      // multimodal: REAL byte-level PGM/WAV decode (codec-free formats;
+      // video stays a labeled stub), poison rows surfaced via ok=false;
+      // rows-only (no SQL-expressible oracle for binary decode)
       val media = Multimodal.syntheticMedia(s, 1000L, 8)
-      Multimodal.decodeStub(media).toDF()
-        .groupBy("media_type")
+      Multimodal.decode(media).toDF()
+        .groupBy("media_type", "ok")
         .agg(count(lit(1)).as("cnt"), sum(col("n_frames").cast("long")).as("frames"))
-        .orderBy("media_type")
+        .orderBy("media_type", "ok")
     })
   )
 

@@ -7,19 +7,24 @@ import org.apache.spark.sql.functions._
 case class MediaRow(media_id: Long, media_type: String,
                     content: Array[Byte], meta: Map[String, String])
 
-/** Output of the (stubbed) decode stage. */
-case class DecodedMedia(media_id: Long, media_type: String,
+/** Output of the decode stage. `ok=false` rows are decode poison
+  * (unparsable payload) — kept, not dropped, so the caller can quarantine
+  * them like JsonIngest does for corrupt JSON. */
+case class DecodedMedia(media_id: Long, media_type: String, ok: Boolean,
                         width: Int, height: Int, n_frames: Int,
                         features: Array[Float])
 
 /**
- * Multimodal-column plumbing for training-data pipelines: image/audio/video
+ * Multimodal-column handling for training-data pipelines: image/audio/video
  * as opaque `binary` columns with typed metadata, decoded per partition.
  *
- * The actual codec step is a ==== STUB ==== (no image/audio libraries in
- * this container): `decodeStub` derives deterministic fake dimensions and
- * features from the payload bytes. Everything AROUND the stub is real and
- * load-bearing at scale:
+ * Image and audio are decoded FOR REAL — the container ships no codec
+ * libraries, so the synthetic corpus uses the two standard formats that
+ * need none: binary PGM (P5) for images and RIFF/WAV PCM-16 for audio,
+ * both parsed byte-level here, with real per-asset features (pixel/sample
+ * statistics). Video stays a ==== STUB ==== (no codec-free video container
+ * worth hand-rolling): fake dimensions derived from the payload. The
+ * Spark-side shape is the load-bearing part at scale:
  *   - schema: (media_id long, media_type string, content binary, meta map)
  *   - batch shape: `mapPartitions` over a typed Dataset — the Scala analog
  *     of Python's mapInPandas; one iterator per task, streaming, no
@@ -28,20 +33,38 @@ case class DecodedMedia(media_id: Long, media_type: String,
  *     by size, never shuffle the binary payload afterwards
  *   - projection: the decode output drops `content`, so the heavy bytes die
  *     at the earliest stage boundary (column pruning does the rest)
+ *   - poison rows: unparsable payloads yield ok=false rows (quarantine),
+ *     never task failures (ST6 semantics, like JsonIngest)
  */
 object Multimodal {
 
-  /** Deterministic synthetic media table: payload bytes derived from the id
-    * (stand-in for a real binary scan; sized 64-1024 bytes). */
+  /** Deterministic synthetic media table: REAL PGM images and WAV PCM-16
+    * audio clips (decodable without codec libs), plus fake "video" blobs
+    * for the stub path; ~2% of image/audio payloads are deterministically
+    * truncated to exercise the poison-row branch. */
   def syntheticMedia(spark: SparkSession, n: Long, parts: Int = 0): Dataset[MediaRow] = {
     import spark.implicits._
     val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
-    spark.range(0, n, 1, p).map { row =>
-      val id = row
-      val size = 64 + (mix(id, 1) % 961).toInt
-      val bytes = Array.tabulate[Byte](size)(i => (mix(id, i.toLong + 2) & 0xff).toByte)
+    spark.range(0, n, 1, p).map { id =>
       val mtype = Seq("image", "audio", "video")((mix(id, 0) % 3).toInt)
-      MediaRow(id, mtype, bytes, Map("origin" -> s"synth-$id", "codec" -> "fake"))
+      val full = mtype match {
+        case "image" =>
+          val w = 8 + (mix(id, 1) % 24).toInt
+          val h = 8 + (mix(id, 2) % 24).toInt
+          pgmBytes(w, h, (x, y) => (mix(id, 100L + x * 31L + y) & 0xff).toInt)
+        case "audio" =>
+          val samples = 64 + (mix(id, 3) % 448).toInt
+          wavBytes(8000, Array.tabulate(samples)(i =>
+            ((mix(id, 200L + i) % 65536L) - 32768L).toShort))
+        case _ =>
+          val size = 64 + (mix(id, 1) % 961).toInt
+          Array.tabulate[Byte](size)(i => (mix(id, i.toLong + 2) & 0xff).toByte)
+      }
+      val bytes =
+        if (mtype != "video" && mix(id, 7) % 50 == 0) full.take(6) // poison
+        else full
+      MediaRow(id, mtype, bytes, Map("origin" -> s"synth-$id",
+        "codec" -> (if (mtype == "video") "fake" else if (mtype == "image") "pgm" else "wav")))
     }
   }
 
@@ -53,12 +76,90 @@ object Multimodal {
     math.abs(z ^ (z >>> 31))
   }
 
+  // ---- container writers (synthetic corpus) ---------------------------
+
+  /** Binary PGM (P5): "P5\n<w> <h>\n255\n" + w*h gray bytes. */
+  def pgmBytes(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(header.length + i) = (pixel(x, y) & 0xff).toByte; i += 1; x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** Minimal RIFF/WAVE, PCM 16-bit mono little-endian. */
+  def wavBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  // ---- decoders --------------------------------------------------------
+
+  /** Parse a binary PGM: Some((w, h, pixels)) or None if malformed. */
+  def parsePgm(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes.length < 10 || bytes(0) != 'P' || bytes(1) != '5') return None
+    // header = three whitespace-separated tokens after "P5": w, h, maxval
+    var i = 2
+    def token(): Option[Int] = {
+      while (i < bytes.length && Character.isWhitespace(bytes(i))) i += 1
+      var v = 0; var any = false
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); any = true; i += 1
+      }
+      if (any) Some(v) else None
+    }
+    for {
+      w <- token(); h <- token(); maxv <- token()
+      if maxv == 255 && w > 0 && h > 0 && i + 1 + w * h <= bytes.length
+    } yield (w, h, java.util.Arrays.copyOfRange(bytes, i + 1, i + 1 + w * h))
+  }
+
+  /** Parse a PCM-16 mono WAV: Some((sampleRate, samples)) or None. */
+  def parseWav(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (bytes.length < 44) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val riff = new Array[Byte](4); buf.get(riff)
+    buf.getInt()
+    val wave = new Array[Byte](4); buf.get(wave)
+    if (new String(riff, "US-ASCII") != "RIFF" ||
+        new String(wave, "US-ASCII") != "WAVE") return None
+    val fmt = new Array[Byte](4); buf.get(fmt); val fmtLen = buf.getInt()
+    if (new String(fmt, "US-ASCII") != "fmt " || fmtLen < 16) return None
+    val audioFormat = buf.getShort(); val channels = buf.getShort()
+    val sampleRate = buf.getInt(); buf.getInt(); buf.getShort()
+    val bits = buf.getShort()
+    if (audioFormat != 1 || channels != 1 || bits != 16) return None
+    buf.position(20 + fmtLen)
+    val dataTag = new Array[Byte](4); buf.get(dataTag); val dataLen = buf.getInt()
+    if (new String(dataTag, "US-ASCII") != "data" ||
+        buf.remaining() < dataLen) return None
+    val samples = new Array[Short](dataLen / 2)
+    var i = 0
+    while (i < samples.length) { samples(i) = buf.getShort(); i += 1 }
+    Some((sampleRate, samples))
+  }
+
   /**
-   * ==== STUB ==== decode stage. A real deployment swaps the body of
-   * `decodeOne` for the codec call (e.g. javax.imageio / ffmpeg JNI); the
-   * mapPartitions batch shape, schema, and laziness stay identical.
+   * Decode stage: real PGM/WAV byte-level decode with real features; video
+   * via the labeled stub. Unparsable payloads → ok=false poison rows.
    */
-  def decodeStub(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition setup happens once here (codec init in a real impl)
@@ -66,19 +167,58 @@ object Multimodal {
     }
   }
 
-  private def decodeOne(m: MediaRow): DecodedMedia = {
-    // STUB: "parse" the first bytes as a fake header; deterministic output.
-    val h = m.content.take(8).foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
-    val width = 16 + (h % 240).toInt
-    val height = 16 + ((h >> 8) % 240).toInt
-    val frames = m.media_type match {
-      case "video" => 1 + (h % 32).toInt
-      case "audio" => 1 + (h % 128).toInt
-      case _       => 1
+  /** Back-compat alias (round-1 name). */
+  def decodeStub(media: Dataset[MediaRow]): Dataset[DecodedMedia] = decode(media)
+
+  private def poison(m: MediaRow): DecodedMedia =
+    DecodedMedia(m.media_id, m.media_type, ok = false, 0, 0, 0, Array.empty)
+
+  private def decodeOne(m: MediaRow): DecodedMedia = m.media_type match {
+    case "image" => parsePgm(m.content).fold(poison(m)) { case (w, h, px) =>
+      // real pixel statistics: mean, stddev, min, max, quadrant means
+      var sum = 0.0; var sq = 0.0; var mn = 255; var mx = 0
+      val quad = new Array[Double](4); val qn = new Array[Int](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = px(y * w + x) & 0xff
+          sum += v; sq += v.toDouble * v
+          if (v < mn) mn = v; if (v > mx) mx = v
+          val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+          quad(q) += v; qn(q) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w * h).toDouble
+      val mean = sum / n
+      val std = math.sqrt(math.max(0, sq / n - mean * mean))
+      DecodedMedia(m.media_id, "image", ok = true, w, h, 1,
+        Array(mean.toFloat, std.toFloat, mn.toFloat, mx.toFloat) ++
+          quad.indices.map(q => (quad(q) / math.max(1, qn(q))).toFloat))
     }
-    val features = Array.tabulate(8)(i =>
-      ((mix(h, i.toLong) % 2000001L) / 1000000.0f) - 1.0f)
-    DecodedMedia(m.media_id, m.media_type, width, height, frames, features)
+    case "audio" => parseWav(m.content).fold(poison(m)) { case (rate, s) =>
+      // real sample statistics: mean amplitude, RMS, peak, zero crossings
+      var sum = 0.0; var sq = 0.0; var peak = 0; var zc = 0
+      var i = 0
+      while (i < s.length) {
+        val v = s(i).toInt
+        sum += v; sq += v.toDouble * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && ((s(i - 1) < 0) != (v < 0))) zc += 1
+        i += 1
+      }
+      val n = math.max(1, s.length).toDouble
+      DecodedMedia(m.media_id, "audio", ok = true, rate, 16, s.length,
+        Array((sum / n).toFloat, math.sqrt(sq / n).toFloat, peak.toFloat, zc.toFloat))
+    }
+    case _ =>
+      // ==== STUB ==== no codec-free video container: fake dims from bytes
+      val h = m.content.take(8).foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+      DecodedMedia(m.media_id, m.media_type, ok = true,
+        16 + (h % 240).toInt, 16 + ((h >> 8) % 240).toInt, 1 + (h % 32).toInt,
+        Array.tabulate(8)(i => ((mix(h, i.toLong) % 2000001L) / 1000000.0f) - 1.0f))
   }
 
   /** Frame sampling: every `stride`-th fake frame of video payloads —
