@@ -307,6 +307,15 @@ object SparkEntry {
           col("chunk_last").cast("long").as("chunk_last"))
         .orderBy("doc_id")),
 
+    "q_dedup_simhash_portable" -> ((s, d) =>
+      // portable-arithmetic simhash near-dups — the hard-signal variant of
+      // q_dedup_simhash (whose xxhash64 signature DuckDB cannot reproduce)
+      DedupOps.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
+          maxHamming = 2, bits = 16, portable = true)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")),
+
     "q_ann_top1" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       SimilarityOps.bruteForceTopK(e, e, "vec_id", "embedding", 1)
@@ -399,25 +408,43 @@ object SparkEntry {
     })
   )
 
-  /** DuckDB SQL for the 16-bit portable simhash: bit j of the signature is
+  /** DuckDB CTEs for the 16-bit portable simhash: bit j of the signature is
     * the sign of Σ_words ±1 votes on bit j of the affine-mixed poly hash —
-    * the 16 bit terms are generated here. */
-  private def simhashOracleSql: String = {
+    * the 16 bit terms are generated here. Ends with `sig(doc_id, sim)`. */
+  private def simhashPortableCtes: String = {
     val bitTerms = (0 until 16).map { j =>
       val div = 1L << j
       s"""CASE WHEN list_sum(list_transform(hs, x ->
             CASE WHEN (x // $div) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
           THEN ${1L << j} ELSE 0 END"""
     }.mkString(" + ")
-    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
         h AS (SELECT doc_id, list_transform(ws, wd ->
           (list_reduce(list_prepend(0::BIGINT, list_transform(
              string_split_regex(wd, ''), c -> ascii(c)::BIGINT)),
              (acc, x) -> (acc * 31 + x) % 1000000007) * 654435748 + 1013904223)
-          % 1000000007) AS hs FROM w)
-        SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash16
-        FROM h ORDER BY doc_id"""
+          % 1000000007) AS hs FROM w),
+        sig AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS sim FROM h)"""
   }
+
+  private def simhashOracleSql: String =
+    s"""WITH $simhashPortableCtes
+        SELECT doc_id, sim AS simhash16 FROM sig ORDER BY doc_id"""
+
+  /** Reproduces simhashNearDups(maxHamming=2, bits=16, portable=true):
+    * 3 pigeonhole chunks (6+6+4 bits) gate candidates, exact hamming via
+    * bit_count(xor) verifies. */
+  private def simhashNearDupsOracleSql: String =
+    s"""WITH $simhashPortableCtes,
+        ch AS (SELECT doc_id, sim,
+          sim % 64 AS c0, (sim // 64) % 64 AS c1, (sim // 4096) % 16 AS c2
+        FROM sig)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+        FROM ch a JOIN ch b ON a.doc_id < b.doc_id
+          AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2)
+        WHERE bit_count(xor(a.sim, b.sim)) <= 2
+        ORDER BY id_a, id_b"""
 
   /** Shared DuckDB CTE prefix reproducing minhashNearDups(n=2, k=8,
     * bands=4, 60%): shingle poly-hashes → 8 affine minhashes
@@ -505,6 +532,7 @@ object SparkEntry {
   /** DuckDB-runnable oracles; table names resolve to the same parquet. */
   def oracleSql: Map[String, String] = Map(
     "q_simhash_portable" -> simhashOracleSql,
+    "q_dedup_simhash_portable" -> simhashNearDupsOracleSql,
     "q_pipeline_prtg" -> pipelinePrtgOracleSql,
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,

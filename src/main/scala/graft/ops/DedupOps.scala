@@ -146,16 +146,22 @@ object DedupOps {
     * classic 4×16-bit layout. Requires maxHamming in [0, 15] so chunks
     * keep ≥ 4 bits (beyond that, banding stops pruning anything). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 15,
-      s"maxHamming=$maxHamming outside [0,15]: chunks would be <4 bits and prune nothing")
+                      maxHamming: Int = 3, bits: Int = 64,
+                      portable: Boolean = false): DataFrame = {
+    require(bits >= 8 && bits <= 64)
+    require(maxHamming >= 0 && maxHamming + 1 <= bits / 4,
+      s"maxHamming=$maxHamming too large for $bits-bit signatures: chunks would be <4 bits and prune nothing")
     val chunks = maxHamming + 1
-    val width = (64 + chunks - 1) / chunks // ceil; last chunk may be narrower
-    val sigd = df.select(col(idCol).as("id"),
-      graft.functions.GraftFunctions.simhash64(col(textCol)).as("sig"))
+    val width = (bits + chunks - 1) / chunks // ceil; last chunk may be narrower
+    // portable=true uses the affine/poly-hash signature DuckDB reproduces
+    // exactly (q_dedup_simhash_portable); default is the xxhash64 variant
+    val sigCol =
+      if (portable) graft.functions.GraftFunctions.simhash_poly(col(textCol), bits)
+      else graft.functions.GraftFunctions.simhash64(col(textCol))
+    val sigd = df.select(col(idCol).as("id"), sigCol.as("sig"))
     val chunked = sigd.withColumn("chunk", explode(array((0 until chunks).map { c =>
       val lo = c * width
-      val w = math.min(width, 64 - lo)
+      val w = math.min(width, bits - lo)
       val cval =
         if (w >= 64) col("sig")
         else shiftright(col("sig"), lo).bitwiseAND((1L << w) - 1)
