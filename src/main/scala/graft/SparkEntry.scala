@@ -307,6 +307,21 @@ object SparkEntry {
           col("chunk_last").cast("long").as("chunk_last"))
         .orderBy("doc_id")),
 
+    "q_vocab_topk" -> ((s, d) =>
+      // pre-tokenizer corpus report: most frequent words + doc frequency
+      TrainingOps.vocabStats(t(s, d, "documents"), "doc_id", "text", topK = 50)),
+
+    "q_quantize_int8" -> ((s, d) =>
+      // int8 embedding quantization, verified through per-vector integer
+      // aggregates (array formatting differs across engines; sums do not)
+      TrainingOps.quantizeInt8(t(s, d, "embeddings"), "embedding")
+        .select(col("vec_id"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+          array_min(col("q")).cast("long").as("q_min"),
+          array_max(col("q")).cast("long").as("q_max"))
+        .orderBy("vec_id")),
+
     "q_dedup_simhash_portable" -> ((s, d) =>
       // portable-arithmetic simhash near-dups — the hard-signal variant of
       // q_dedup_simhash (whose xxhash64 signature DuckDB cannot reproduce)
@@ -692,6 +707,27 @@ object SparkEntry {
     // polynomial fold DedupOps.bandedSignature computes over the slice.
     "q_dedup_minhash_lsh" -> minhashLshOracleSql,
     "q_dedup_clusters" -> dedupClustersOracleSql,
+    "q_vocab_topk" ->
+      """SELECT word, count(*) AS occurrences,
+           count(DISTINCT doc_id) AS doc_freq
+         FROM (SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\s+')) AS word
+               FROM documents)
+         GROUP BY word ORDER BY occurrences DESC, word LIMIT 50""",
+    "q_quantize_int8" ->
+      """WITH q AS (SELECT vec_id,
+           list_transform(embedding, x ->
+             CASE WHEN m > 0 THEN CAST(floor(x::DOUBLE * 127 / m) AS BIGINT)
+                  ELSE 0 END) AS qv
+         FROM (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
+               FROM embeddings))
+         SELECT vec_id,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max
+         FROM q ORDER BY vec_id""",
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
          WHERE ((doc_id % 1000000007) * 654435794 + 1014086360) % 1000000007 % 1000 <

@@ -251,6 +251,25 @@ object Hashing {
     (inter.toLong << 32) | (na.toLong + nb - inter)
   }
 
+  /** Symmetric int8 quantization of a float/double vector:
+    * q_i = floor(x_i * 127 / max|x|), all-zero vectors → zeros. Double
+    * arithmetic with mult-before-div, so DuckDB's
+    * floor(x::DOUBLE * 127 / m) reproduces it bit-for-bit (IEEE 754). */
+  def quantizeI8(v: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    @inline def at(i: Int): Double =
+      if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) { val a = math.abs(at(i)); if (a > maxAbs) maxAbs = a; i += 1 }
+    val out = new Array[Int](n)
+    if (maxAbs > 0) {
+      i = 0
+      while (i < n) { out(i) = math.floor(at(i) * 127.0 / maxAbs).toInt; i += 1 }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Left-fold dot product in double — identical fold order (i = 0..n-1)
     * to aggregate(zip_with(...)), so results are bit-equal. Arrays are
     * float32 (`isFloat=true`) or float64 elements. */

@@ -210,6 +210,25 @@ case class LshSignatureExpr(child: Expression, bits: Int, offset: Int)
     copy(child = c)
 }
 
+/** Symmetric int8 quantization q_i = floor(x_i·127/max|x|) — see
+  * Hashing.quantizeI8. */
+case class QuantizeI8Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private def isFloatArray: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(v: Any): Any =
+    Hashing.quantizeI8(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloatArray)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Hashing.quantizeI8($c, $isFloatArray)")
+  override protected def withNewChildInternal(c: Expression): QuantizeI8Expr =
+    copy(child = c)
+}
+
 case class GenTokensExpr(child: Expression, vocab: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -293,6 +312,7 @@ object GraftFunctions {
     c(IntArrayJsonExpr(ColumnGlue.expression(a)))
   def lsh_signature(v: Column, bits: Int, offset: Int = 0): Column =
     c(LshSignatureExpr(ColumnGlue.expression(v), bits, offset))
+  def quantize_i8(v: Column): Column = c(QuantizeI8Expr(ColumnGlue.expression(v)))
   def jaccard_counts(a: Column, b: Column): Column =
     c(JaccardCountsExpr(ColumnGlue.expression(a), ColumnGlue.expression(b)))
   def dot_product(a: Column, b: Column): Column = c(DotProductExpr(ColumnGlue.expression(a), ColumnGlue.expression(b)))

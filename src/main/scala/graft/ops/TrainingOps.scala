@@ -49,6 +49,39 @@ object TrainingOps {
   }
 
   /**
+   * Corpus vocabulary statistics: the `topK` most frequent words with
+   * document frequency — the standard pre-tokenizer corpus report. Shape:
+   * explode → two-level aggregate (partial map-side combine per word) →
+   * top-k. The explode multiplies rows ~100x but carries ONE short string
+   * column; the aggregate collapses it back before the (tiny) top-k sort.
+   */
+  def vocabStats(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(TextOps.words(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("occurrences"),
+           count_distinct(col("id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("word"))
+      .limit(topK)
+
+  /**
+   * Symmetric int8 quantization of an embedding column — the storage/
+   * serving compression step after embedding generation. Codegen'd kernel
+   * (one pass for max|x|, one for the quantized values); the HOF reference
+   * formulation is pinned in FunctionsSpec and reproduced by the DuckDB
+   * oracle (pure IEEE-double arithmetic, mult before div).
+   */
+  def quantizeInt8(df: DataFrame, vecCol: String, outCol: String = "q"): DataFrame =
+    df.withColumn(outCol, graft.functions.GraftFunctions.quantize_i8(col(vecCol)))
+
+  /** HOF reference formulation of quantizeInt8 (semantic spec). */
+  def quantizeInt8Ref(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, x => abs(x.cast("double"))))
+    when(maxAbs > 0,
+      transform(vec, x => floor(x.cast("double") * 127.0 / maxAbs).cast("int")))
+      .otherwise(transform(vec, _ => lit(0)))
+  }
+
+  /**
    * GPT-style sequence packing: documents are concatenated per shard (the
    * `shardCol` — source, language, whatever the trainer shards on) in
    * doc-id order, and chunked into fixed `capacity`-token training

@@ -55,6 +55,31 @@ class TrainingOpsSpec extends SparkSuite {
     assert(got(99L) === 99L, "isolated node keeps its own label")
   }
 
+  test("quantizeInt8: codegen kernel ≡ HOF reference; range and zero-vector edges") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val diff = TrainingOps.quantizeInt8(emb, "embedding")
+      .withColumn("ref", TrainingOps.quantizeInt8Ref(col("embedding")))
+      .filter(col("q") =!= col("ref")).count()
+    assert(diff === 0)
+    // quantized values live in [-128, 127]; max|x| element maps to ±127
+    val bad = TrainingOps.quantizeInt8(emb, "embedding")
+      .filter(array_min(col("q")) < -128 || array_max(col("q")) > 127).count()
+    assert(bad === 0)
+    // zero vector → all zeros, no division blowup
+    val z = Seq(Seq(0f, 0f, 0f), Seq(1f, -2f, 4f)).toDF("embedding")
+    val got = TrainingOps.quantizeInt8(z, "embedding")
+      .select("q").as[Seq[Int]].collect()
+    assert(got(0) === Seq(0, 0, 0))
+    assert(got(1) === Seq(31, -64, 127)) // floor(1*127/4)=31, floor(-2*127/4)=-64
+  }
+
+  test("vocabStats: counts and doc frequency on a hand fixture") {
+    val df = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b b")).toDF("doc_id", "text")
+    val got = TrainingOps.vocabStats(df, "doc_id", "text", 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("b", 4L, 2L), ("a", 3L, 2L), ("c", 1L, 1L)))
+  }
+
   test("nearDupClusters labels every doc; canonical = cluster minimum") {
     val clustered = DedupOps.nearDupClusters(docs, "doc_id", "text")
     assert(clustered.count() === docs.count())
