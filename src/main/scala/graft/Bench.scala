@@ -34,6 +34,10 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** Best of 2 — one steal-time spike during a single-shot measurement
+    * otherwise reads as a 5-10x regression of that operator. */
+  private def time2[A](f: => A): Double = (1 to 2).map(_ => time(f)).min
+
   /** The pipeline's compute core (no sink I/O): parse → filter → route →
     * per-sink aggregate; count() forces every row through codegen. */
   private def pipelineCompute(spark: SparkSession, n: Long, parts: Int): Long = {
@@ -69,14 +73,14 @@ object Bench {
     def t(name: String) = spark.read.parquet(s"$sfDir/$name.parquet")
     val queries = scala.collection.mutable.LinkedHashMap[String, Double]()
     queries("pipeline_full") = tPipeline
-    queries("pipeline_compute") = time(pipelineCompute(spark, nRows, cpus * 2))
-    queries("dedup_minhash_lsh") = time {
+    queries("pipeline_compute") = time2(pipelineCompute(spark, nRows, cpus * 2))
+    queries("dedup_minhash_lsh") = time2 {
       DedupOps.minhashNearDups(t("documents"), "doc_id", "text", 2, 8, 4, 60).count()
     }
-    queries("dedup_simhash") = time {
+    queries("dedup_simhash") = time2 {
       DedupOps.simhashNearDups(t("documents"), "doc_id", "text", 3).count()
     }
-    queries("ann_brute_top1") = time {
+    queries("ann_brute_top1") = time2 {
       val e = t("embeddings")
       SimilarityOps.bruteForceTopK(e, e, "vec_id", "embedding", 1).count()
     }
@@ -85,46 +89,46 @@ object Bench {
     val nEmb = t("embeddings").count()
     val lshBits = math.max(4, (math.log(nEmb / 32.0) / math.log(2)).ceil.toInt)
     val ivfCentroids = math.max(16, math.sqrt(nEmb.toDouble).ceil.toInt)
-    queries("ann_lsh_top1") = time {
+    queries("ann_lsh_top1") = time2 {
       SimilarityOps.lshTopK(t("embeddings"), "vec_id", "embedding", 1, lshBits, 8).count()
     }
-    queries("ann_ivf_top1") = time {
+    queries("ann_ivf_top1") = time2 {
       SimilarityOps.ivfTopK(t("embeddings"), "vec_id", "embedding", 1, ivfCentroids, 8).count()
     }
-    queries("dedup_exact") = time {
+    queries("dedup_exact") = time2 {
       DedupOps.exactDedup(t("documents"), Seq("text"), "doc_id").count()
     }
-    queries("dedup_clusters") = time {
+    queries("dedup_clusters") = time2 {
       DedupOps.nearDupClusters(t("documents"), "doc_id", "text").count()
     }
-    queries("sample_pack") = time {
+    queries("sample_pack") = time2 {
       TrainingOps.packSequences(
         TrainingOps.stratifiedSample(t("documents"), "doc_id", "lang",
           Map("en" -> 500, "de" -> 250))
           .withColumn("n_tok", size(TextOps.words(col("text")))),
         "doc_id", "n_tok", "source", 512).count()
     }
-    queries("dedup_ngram_jaccard") = time {
+    queries("dedup_ngram_jaccard") = time2 {
       DedupOps.ngramJaccardPairs(t("documents"), "doc_id", "text", "lang", 2, 55).count()
     }
-    queries("text_analysis") = time {
+    queries("text_analysis") = time2 {
       TextOps.qualityScore(t("documents"))
         .select(col("doc_id"), TextOps.langId(col("text")),
           TextOps.fingerprint(col("text")), col("n_words"))
         .count()
     }
-    queries("window_rank") = time {
+    queries("window_rank") = time2 {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t("orders").withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).count()
     }
-    queries("tpch_agg") = time {
+    queries("tpch_agg") = time2 {
       t("lineitem").groupBy("l_returnflag", "l_linestatus")
         .agg(sum("l_quantity"), count(lit(1))).count()
     }
-    queries("tpch_join") = time {
+    queries("tpch_join") = time2 {
       val c = t("customer"); val o = t("orders")
       o.join(c, c("c_custkey") === o("o_custkey"))
         .groupBy("c_mktsegment").agg(count(lit(1))).count()
