@@ -203,7 +203,11 @@ object DedupOps {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = nodes.select(col("id")).distinct()
+    // defensive union of pair endpoints: an endpoint absent from `nodes`
+    // would otherwise silently vanish from the labeling
+    var labels = nodes.select(col("id"))
+      .union(edges.select(col("src").as("id")))
+      .distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var iter = 0
     var changed = 1L

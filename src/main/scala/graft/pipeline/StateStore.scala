@@ -75,7 +75,11 @@ class StateStore(val dir: String) {
    * advances, historic reads need no locks and see no torn state.
    */
   def loadAsOf(spark: SparkSession, nowEpochSec: Long, asOfSnapshot: Int): DataFrame = {
-    val paths = (0 to asOfSnapshot).map(snapshotPath)
+    // cap at the committed pointer: snapshot dirs beyond it are orphans
+    // from crashed commits (written but never pointer-swapped) and must
+    // stay invisible to every read path
+    val cap = math.min(asOfSnapshot, currentSnapshot.getOrElse(-1))
+    val paths = (0 to cap).map(snapshotPath)
       .filter(p => Files.exists(Paths.get(p)))
     if (paths.isEmpty) emptyState(spark)
     else spark.read.parquet(paths: _*)

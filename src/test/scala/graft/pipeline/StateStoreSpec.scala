@@ -112,6 +112,22 @@ class StateStoreSpec extends SparkSuite {
       .select("content_id").as[String].collect() === Array("a"))
   }
 
+  test("loadAsOf never reads orphan snapshot dirs beyond the committed pointer") {
+    val st = new StateStore(tmpDir("st"))
+    st.commit(spark, Seq("a").toDF("doc_id"), "doc_id", future, now)
+    // simulate a crashed commit: snapshot dir written, pointer never swapped
+    Seq("zombie").toDF("doc_id")
+      .select(col("doc_id").as("content_id"),
+        timestamp_seconds(lit(future)).as("expiration"),
+        timestamp_seconds(lit(now)).as("committed_at"),
+        lit(0).as("partition_id"), lit(1).as("snapshot_id"))
+      .write.parquet(s"${st.dir}/snapshot-1")
+    assert(st.loadAsOf(spark, now, 99).select("content_id").as[String].collect()
+      === Array("a"))
+    assert(st.load(spark, now).select("content_id").as[String].collect()
+      === Array("a"))
+  }
+
   test("time travel: loadAsOf(k) sees exactly snapshots 0..k") {
     val st = new StateStore(tmpDir("st"))
     st.commit(spark, Seq("a").toDF("doc_id"), "doc_id", future, now)
