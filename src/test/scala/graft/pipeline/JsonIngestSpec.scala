@@ -52,6 +52,36 @@ class JsonIngestSpec extends SparkSuite {
     assert(metrics.agg(sum("rows")).as[Long].head() === quarantined.count())
   }
 
+  test("JSON front door composes with the full pipeline: parse -> quarantine -> route") {
+    // textual-log deployment shape: each sequence row arrives as a JSON
+    // payload line; JsonIngest parses it back in front of the pipeline and
+    // poison lines flow to quarantine instead of failing the run
+    val n = 2000L
+    val seqs = DataGen.sequences(spark, n, 4)
+    val payloads = seqs.select(
+      to_json(struct(col("doc_id"), col("tokens"), col("n_tok"), col("source")))
+        .as("payload"))
+      // deterministically corrupt ~5% of lines (truncate)
+      .withColumn("payload",
+        when(pmod(xxhash64(col("payload")), lit(20)) === 0,
+          substring(col("payload"), 1, 10)).otherwise(col("payload")))
+    val (parsed, quarantined) = JsonIngest.parse(payloads, "payload", Schemas.sequences)
+    val nQuarantined = quarantined.count()
+    assert(nQuarantined > 0 && nQuarantined < n / 10)
+    assert(parsed.count() + nQuarantined === n)
+    // the parsed branch drives the normal pipeline
+    val routed = Pipeline.routedRecords(
+      parsed.select("doc_id", "tokens", "n_tok", "source"), DataGen.routingRules)
+    val expected = Pipeline.routedRecords(seqs, DataGen.routingRules)
+      .join(parsed.select("doc_id"), Seq("doc_id"), "left_semi")
+    assert(routed.count() === expected.count())
+    // token arrays survive the JSON round trip bit-for-bit
+    val back = parsed.select("doc_id", "tokens")
+    val orig = seqs.join(parsed.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "tokens")
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
   test("bounded-retry analog: a poison row fails parse deterministically, not the job") {
     // re-running the parse N times (the reference's 3 retries per URL,
     // src/collector.rs:469-515) yields the identical quarantine set — the
