@@ -13,6 +13,10 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName(appName)
+      // engine optimizer rules (e.g. FuseJaccardCounts) — the
+      // SparkSessionExtensions seam; equivalent spark-submit conf:
+      // --conf spark.sql.extensions=graft.plans.GraftExtensions
+      .withExtensions(graft.plans.GraftExtensions)
       // shuffle partitions sized to cores in local mode; on a real cluster
       // start at 2-3x total executor cores and let AQE coalesce
       .config("spark.sql.shuffle.partitions", cores)

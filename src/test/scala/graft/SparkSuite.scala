@@ -9,6 +9,7 @@ object SparkSuite {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      .withExtensions(graft.plans.GraftExtensions) // same rules as GraftSession
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
