@@ -170,8 +170,11 @@ object Hashing {
     * predicate pushdown inlines them into the filter condition (short-
     * circuit evaluation forbids subexpression hoisting there), so each
     * occurrence must be nanoseconds: measured 3.5x end-to-end pipeline
-    * speedup over the substring formulation. Returns -1 for ids with no
-    * digits at positions 5..16 (callers treat it as null). */
+    * speedup over the substring formulation. Like the substring-cast
+    * formulation, any id with digits from byte 5 onward parses as valid
+    * (the prefix is not inspected); an id with NO digit there returns -1,
+    * which AuditFieldExpr/AuditTsExpr turn into NULL (malformed rows are
+    * quarantined by routing filters, never silently assigned buckets). */
   def docIdNum(s: UTF8String): Long = {
     val n = math.min(s.numBytes(), 16)
     var i = 4
@@ -201,34 +204,45 @@ object Hashing {
     ((id % P) * a + b) % P
   }
 
-  /** Content-type bucket 0..4 (50/20/15/10/5% skew) of a doc-%012d id. */
-  def auditCt(docId: UTF8String): Int = {
-    val h = affMix(docIdNum(docId), 1) % 100
+  // Each kernel has a long overload taking the pre-parsed doc index: the
+  // codegen'd AuditFieldExpr parses the id ONCE, null-gates on -1 (malformed
+  // ids surface as NULL → quarantined by any routing filter, never silently
+  // binned — see docIdNum), then makes one static call.
+
+  /** Content-type bucket 0..4 (50/20/15/10/5% skew) of a doc index. */
+  def auditCtN(id: Long): Int = {
+    val h = affMix(id, 1) % 100
     if (h < 50) 0 else if (h < 70) 1 else if (h < 85) 2 else if (h < 95) 3 else 4
   }
+  def auditCt(docId: UTF8String): Int = auditCtN(docIdNum(docId))
 
   /** Workload index 0..5. */
-  def auditWl(docId: UTF8String): Int = (affMix(docIdNum(docId), 2) % 6).toInt
+  def auditWlN(id: Long): Int = (affMix(id, 2) % 6).toInt
+  def auditWl(docId: UTF8String): Int = auditWlN(docIdNum(docId))
 
   /** Operation index 0..11. */
-  def auditOp(docId: UTF8String): Int = (affMix(docIdNum(docId), 3) % 12).toInt
+  def auditOpN(id: Long): Int = (affMix(id, 3) % 12).toInt
+  def auditOp(docId: UTF8String): Int = auditOpN(docIdNum(docId))
 
   /** Record type 0..63. */
-  def auditRt(docId: UTF8String): Int = (affMix(docIdNum(docId), 4) % 64).toInt
+  def auditRtN(id: Long): Int = (affMix(id, 4) % 64).toInt
+  def auditRt(docId: UTF8String): Int = auditRtN(docIdNum(docId))
 
   /** CreationTime epoch seconds (BaseEpoch + mix_5 mod span). */
+  def auditTsN(id: Long, baseEpoch: Long, spanSeconds: Long): Long =
+    baseEpoch + affMix(id, 5) % spanSeconds
   def auditTs(docId: UTF8String, baseEpoch: Long, spanSeconds: Long): Long =
-    baseEpoch + affMix(docIdNum(docId), 5) % spanSeconds
+    auditTsN(docIdNum(docId), baseEpoch, spanSeconds)
 
   /** Policy: 0 = absent, 1 = Spoof, 2 = Phish (present only on bucket 0,
     * ~90% of its rows — mix_6 gate, mix_7 value). */
-  def auditPolicy(docId: UTF8String): Int = {
-    val id = docIdNum(docId)
+  def auditPolicyN(id: Long): Int = {
     if (affMix(id, 1) % 100 >= 50) 0 // not Audit.General
     else if (affMix(id, 6) % 10 == 0) 0 // absent
     else if (affMix(id, 7) % 4 == 0) 1
     else 2
   }
+  def auditPolicy(docId: UTF8String): Int = auditPolicyN(docIdNum(docId))
 
   /** Packed intersection/union counts of two DISTINCT long arrays:
     * (|a ∩ b| << 32) | |a ∪ b|. One hash-set build over the smaller array +

@@ -29,23 +29,34 @@ case class DocIdNumExpr(child: Expression)
 /** One audit-field derivation as a single static call — kind ∈
   * {Ct, Wl, Op, Rt, Policy} (see Hashing audit kernels; keeping each
   * filter-inlined occurrence to one call keeps the generated filter method
-  * under HotSpot's JIT bytecode limit). */
+  * under HotSpot's JIT bytecode limit). Malformed ids (docIdNum = -1)
+  * yield NULL, so broken input is quarantined by routing filters rather
+  * than deterministically binned. */
 case class AuditFieldExpr(child: Expression, kind: String)
     extends UnaryExpression {
   require(AuditFieldExpr.Kinds.contains(kind), s"unknown audit field: $kind")
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-    kind match {
-      case "Ct" => Hashing.auditCt(s)
-      case "Wl" => Hashing.auditWl(s)
-      case "Op" => Hashing.auditOp(s)
-      case "Rt" => Hashing.auditRt(s)
-      case "Policy" => Hashing.auditPolicy(s)
+    val id = Hashing.docIdNum(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    if (id < 0L) null
+    else kind match {
+      case "Ct" => Hashing.auditCtN(id)
+      case "Wl" => Hashing.auditWlN(id)
+      case "Op" => Hashing.auditOpN(id)
+      case "Rt" => Hashing.auditRtN(id)
+      case "Policy" => Hashing.auditPolicyN(id)
     }
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.audit$kind($c)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val idv = ctx.freshName("docIdNum")
+      s"""
+        long $idv = graft.functions.Hashing.docIdNum($c);
+        if ($idv < 0L) { ${ev.isNull} = true; }
+        else { ${ev.value} = graft.functions.Hashing.audit${kind}N($idv); }
+      """
+    })
   override protected def withNewChildInternal(c: Expression): AuditFieldExpr =
     copy(child = c)
 }
@@ -54,16 +65,25 @@ object AuditFieldExpr {
   val Kinds = Set("Ct", "Wl", "Op", "Rt", "Policy")
 }
 
-/** CreationTime epoch seconds of a doc-%012d id. */
+/** CreationTime epoch seconds of a doc-%012d id; NULL for malformed ids
+  * (same quarantine semantics as AuditFieldExpr). */
 case class AuditTsExpr(child: Expression, baseEpoch: Long, spanSeconds: Long)
     extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any =
-    Hashing.auditTs(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
-      baseEpoch, spanSeconds)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val id = Hashing.docIdNum(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    if (id < 0L) null else Hashing.auditTsN(id, baseEpoch, spanSeconds)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.Hashing.auditTs($c, ${baseEpoch}L, ${spanSeconds}L)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val idv = ctx.freshName("docIdNum")
+      s"""
+        long $idv = graft.functions.Hashing.docIdNum($c);
+        if ($idv < 0L) { ${ev.isNull} = true; }
+        else { ${ev.value} = graft.functions.Hashing.auditTsN($idv, ${baseEpoch}L, ${spanSeconds}L); }
+      """
+    })
   override protected def withNewChildInternal(c: Expression): AuditTsExpr =
     copy(child = c)
 }
@@ -218,6 +238,14 @@ case class QuantizeI8Expr(child: Expression)
   private def isFloatArray: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
+  }
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expects array<float> or array<double>, got ${other.simpleString}")
   }
   override def nullSafeEval(v: Any): Any =
     Hashing.quantizeI8(

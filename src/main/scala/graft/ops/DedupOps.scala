@@ -179,11 +179,6 @@ object DedupOps {
   }
 
   /**
-   * Exact n-gram Jaccard for all pairs within a blocking key (e.g. lang).
-   * This is the verification primitive — at scale you block first (LSH above
-   * or a cheap key) and never run it all-pairs.
-   */
-  /**
    * Connected components over near-dup pairs → dedup CLUSTERS: every doc
    * gets the minimum reachable doc id as its cluster label (the canonical
    * survivor a training pipeline keeps). Docs in no pair are their own
@@ -246,6 +241,11 @@ object DedupOps {
         (col("id") === col("label")).as("is_canonical"))
   }
 
+  /**
+   * Exact n-gram Jaccard for all pairs within a blocking key (e.g. lang).
+   * This is the verification primitive — at scale you block first (LSH above
+   * or a cheap key) and never run it all-pairs.
+   */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, minJaccardPct: Int): DataFrame = {
     val src = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(textCol).as("text"))

@@ -75,9 +75,15 @@ object CsvSink {
       .filter(_.getName.startsWith("__ct_part="))
       .sortBy(_.getName)
     val out = partDirs.map { d =>
-      // partition values are URL-escaped in directory names
-      val ct = java.net.URLDecoder.decode(
-        d.getName.stripPrefix("__ct_part="), "UTF-8")
+      // partition values are Hive-escaped in directory names — use Spark's
+      // exact inverse (URLDecoder is NOT it: it turns '+' into a space and
+      // throws on a stray '%' that isn't a valid hex escape)
+      val raw = d.getName.stripPrefix("__ct_part=")
+      val ct =
+        if (raw == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+          "null" // null/empty content_type — keep a readable filename
+        else
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(raw)
       val target = java.nio.file.Paths.get(
         s"$dir/${postfix}_${stem}_${ct.replace(".", "")}.csv")
       if (java.nio.file.Files.exists(target)) {

@@ -43,10 +43,13 @@ object FuseJaccardCounts extends Rule[LogicalPlan] {
     Cast(part, IntegerType)
   }
 
+  // The legacySizeOfNull guard: with spark.sql.legacy.sizeOfNull=true the
+  // original Size returns -1 for a null array while the fused kernel is
+  // null-propagating — only fire under the modern (false) semantics.
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case Size(ArrayIntersect(a, b), _) if isDistinctArray(a) && isDistinctArray(b) =>
+    case Size(ArrayIntersect(a, b), false) if isDistinctArray(a) && isDistinctArray(b) =>
       fused(a, b, hi = true)
-    case Size(ArrayUnion(a, b), _) if isDistinctArray(a) && isDistinctArray(b) =>
+    case Size(ArrayUnion(a, b), false) if isDistinctArray(a) && isDistinctArray(b) =>
       fused(a, b, hi = false)
   }
 }

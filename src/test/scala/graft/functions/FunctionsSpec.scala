@@ -67,6 +67,29 @@ class FunctionsSpec extends SparkSuite {
     assert(diff === 0)
   }
 
+  test("audit fields are NULL for malformed ids (quarantined, never binned)") {
+    import graft.pipeline.Parse
+    val ids = Seq("doc-000000000042", "garbage", "doc-nodigits", "", "usr-0042")
+      .toDF("doc_id")
+    val rows = ids.select(col("doc_id"),
+        audit_field(col("doc_id"), "Ct").as("ct"),
+        audit_ts(col("doc_id"), Parse.BaseEpoch, Parse.SpanSeconds).as("ts"))
+      .collect().map(r => r.getString(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(rows("doc-000000000042") === ((false, false)))
+    assert(rows("garbage") === ((true, true)))
+    assert(rows("doc-nodigits") === ((true, true)))
+    assert(rows("") === ((true, true)))
+    // documented substring-cast semantics: digits from byte 5 parse as valid
+    assert(rows("usr-0042") === ((false, false)))
+  }
+
+  test("quantize_i8 rejects non-numeric arrays at analysis time") {
+    val df = Seq(Seq("a", "b")).toDF("v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(quantize_i8(col("v"))).collect()
+    }
+  }
+
   test("doc_id_num ≡ substring(doc_id, 5, 12).cast(long) on generated ids") {
     val ids = graft.pipeline.DataGen.sequences(spark, 3000L, 4).select("doc_id")
       .union(Seq("doc-000000000000", "doc-999999999999", "doc-000000000007").toDF("doc_id"))

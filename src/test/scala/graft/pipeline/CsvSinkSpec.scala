@@ -41,4 +41,21 @@ class CsvSinkSpec extends SparkSuite {
     val total = paths.map(p => CsvSink.read(spark, p, ";").count()).sum
     assert(total === routed.count())
   }
+
+  test("separated CSV: user-supplied types with '+', '%' and ':' unescape exactly") {
+    // '+' is NOT URL-safe (URLDecoder turned it into a space) and '%'/':'
+    // are Hive-escaped in partition dir names — unescapePathName is the
+    // exact inverse, so the reference's filename scheme survives any type
+    val df = Seq(
+      ("doc-1", "A+B.C"), ("doc-2", "100%ile"), ("doc-3", "a:b")
+    ).toDF("doc_id", "content_type")
+    val dir = tmpDir("csv_sep_esc")
+    val paths = CsvSink.writeSeparated(df, s"$dir/out.csv",
+      postfix = "20260101000000")
+    assert(paths.exists(_.endsWith("_A+BC.csv")), paths.mkString(", "))
+    assert(paths.exists(_.endsWith("_100%ile.csv")), paths.mkString(", "))
+    assert(paths.exists(_.endsWith("_a:b.csv")), paths.mkString(", "))
+    val back = CsvSink.read(spark, paths.find(_.contains("A+BC")).get)
+    assert(back.select("content_type").as[String].collect() === Array("A+B.C"))
+  }
 }

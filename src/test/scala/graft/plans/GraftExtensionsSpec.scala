@@ -51,4 +51,22 @@ class GraftExtensionsSpec extends SparkSuite {
     // and the built-in dedup semantics stand
     assert(df.as[(Int, Int)].head() === ((1, 3)))
   }
+
+  test("guard: the rule never fires under legacy sizeOfNull semantics") {
+    // legacy Size(null) = -1; the fused kernel is null-propagating — firing
+    // there would silently change results under that (non-default) config.
+    // ANSI mode force-disables the legacy semantics, so turn it off too —
+    // under Spark 4 defaults this combination is the only way Size carries
+    // legacySizeOfNull=true.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+    try {
+      val plan = naive.queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("jaccardcounts"),
+        s"rule must not fire with legacySizeOfNull=true:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.legacy.sizeOfNull")
+      spark.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
 }
