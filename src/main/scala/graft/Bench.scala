@@ -58,10 +58,14 @@ object Bench {
     pipelineCompute(spark, 10000L, cpus)
 
     // ---- headline: full pipeline with sink writes ----------------------
-    // Best of 2 runs: the sandbox VM shows heavy hypervisor steal time, so
-    // interference is additive noise and min(t) estimates true capability.
+    // Best of 3 runs: the sandbox VM shows heavy hypervisor steal time, so
+    // interference is additive noise and min(t) estimates true capability —
+    // the headline is dominated by sink-write I/O, the component most
+    // exposed to contention, so it gets one more sample than the per-op
+    // timings (BASELINE.md documents the same binary spanning 6.6-58 s
+    // across contention windows).
     var routed = 0L
-    val tPipeline = (1 to 2).map { _ =>
+    val tPipeline = (1 to 3).map { _ =>
       val outDir = java.nio.file.Files.createTempDirectory("bench_pipe").toString
       time {
         routed = Pipeline.run(spark, DataGen.sequences(spark, nRows, cpus * 2),
@@ -74,6 +78,11 @@ object Bench {
     val queries = scala.collection.mutable.LinkedHashMap[String, Double]()
     queries("pipeline_full") = tPipeline
     queries("pipeline_compute") = time2(pipelineCompute(spark, nRows, cpus * 2))
+    // attribution metric: what the headline pays for sink-write I/O on top
+    // of the compute core — makes steal-time contention visible as ITS OWN
+    // number instead of silently inflating the compute comparison
+    queries("pipeline_sinks") = math.max(0.0,
+      queries("pipeline_full") - queries("pipeline_compute"))
     queries("dedup_minhash_lsh") = time2 {
       DedupOps.minhashNearDups(t("documents"), "doc_id", "text", 2, 8, 4, 60).count()
     }
@@ -92,9 +101,21 @@ object Bench {
     queries("ann_lsh_top1") = time2 {
       SimilarityOps.lshTopK(t("embeddings"), "vec_id", "embedding", 1, lshBits, 8).count()
     }
-    queries("ann_ivf_top1") = time2 {
-      SimilarityOps.ivfTopK(t("embeddings"), "vec_id", "embedding", 1, ivfCentroids, 8).count()
+    // IVF build and probe timed SEPARATELY: a real inverted-file index is
+    // built once and amortized over every query batch — folding k-means
+    // training into each probe (the old ann_ivf_top1) mismeasures both.
+    // ann_ivf_top1 is kept as build+probe for round-over-round continuity.
+    var ivfIndex: SimilarityOps.IvfIndex = null
+    queries("ann_ivf_build") = time {
+      ivfIndex = SimilarityOps.buildIvfIndex(t("embeddings"), "vec_id",
+        "embedding", ivfCentroids).materialize()
     }
+    queries("ann_ivf_probe") = time2 {
+      SimilarityOps.ivfProbe(ivfIndex, t("embeddings"), "vec_id", "embedding",
+        1, 8).count()
+    }
+    queries("ann_ivf_top1") = queries("ann_ivf_build") + queries("ann_ivf_probe")
+    ivfIndex.unpersist()
     queries("dedup_exact") = time2 {
       DedupOps.exactDedup(t("documents"), Seq("text"), "doc_id").count()
     }
@@ -153,40 +174,48 @@ object Bench {
     // followed by 5 hi runs can land the two levels in different steal-time
     // regimes and report a spurious efficiency. min per level is still the
     // right estimator (interference is strictly additive).
-    // ADAPTIVE sampling: the min-per-level estimator only improves with
-    // more samples (noise is additive), so keep measuring pairs until the
-    // efficiency estimate stabilizes above the 0.8 north-rule bar or the
-    // pair budget runs out — a fixed 5 pairs can land entirely inside one
-    // bad steal-time storm.
+    // A FIXED pair count, every pair reported: an earlier adaptive variant
+    // stopped sampling once the estimate cleared the 0.8 bar — optional
+    // stopping on good news upward-biases the number exactly at the
+    // threshold it gates. Now all pairs always run; per-pair efficiencies
+    // go into the JSON verbatim alongside the min-based estimate.
     var tLo = Double.MaxValue
     var tHi = Double.MaxValue
-    var pairsRun = 0
-    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "10").toInt
-    def eff0 = ((probeRows / tHi) / (probeRows / tLo)) / (hiProbe.toDouble / lo)
-    while (pairsRun < maxPairs && (pairsRun < 3 || eff0 < 0.82)) {
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "5").toInt
+    val pairEffs = scala.collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 1 to nPairs) {
       val sLo = session(lo)
       pipelineCompute(sLo, 10000L, lo) // warm
-      tLo = math.min(tLo, time(pipelineCompute(sLo, probeRows, lo * 2)))
+      val tLoPair = time(pipelineCompute(sLo, probeRows, lo * 2))
+      tLo = math.min(tLo, tLoPair)
       sLo.stop()
       val sHi = session(hiProbe)
       pipelineCompute(sHi, 10000L, hiProbe) // warm
-      tHi = math.min(tHi, time(pipelineCompute(sHi, probeRows, hiProbe * 2)))
+      val tHiPair = time(pipelineCompute(sHi, probeRows, hiProbe * 2))
+      tHi = math.min(tHi, tHiPair)
       sHi.stop()
-      pairsRun += 1
+      pairEffs += (tLoPair / tHiPair) / (hiProbe.toDouble / lo)
     }
     val thrLo = probeRows / tLo
     val thrHi = probeRows / tHi
+    // min-per-level estimator: under strictly additive interference the
+    // fastest lo and fastest hi are each closest to true capability
     val eff = (thrHi / thrLo) / (hiProbe.toDouble / lo)
+    val effsSorted = pairEffs.sorted
+    val effMedian = effsSorted(effsSorted.size / 2)
 
     val rowsPerSec = routed / tPipeline
     val qs = queries.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
+    val effsJson = pairEffs.map(e => "%.3f".format(e)).mkString("[", ",", "]")
     val json =
       s"""{"metric":"routed_rows_per_sec","value":${"%.1f".format(rowsPerSec)},""" +
       s""""unit":"rows/sec","queries":$qs,"sf":"$sfDir","rows":$nRows,""" +
       s""""routed":$routed,"scaling":{"cores_lo":$lo,"rows_per_sec_lo":${"%.1f".format(thrLo)},""" +
       s""""cores_hi":$hiProbe,"rows_per_sec_hi":${"%.1f".format(thrHi)},""" +
-      s""""efficiency":${"%.3f".format(eff)}}}"""
+      s""""efficiency":${"%.3f".format(eff)},""" +
+      s""""efficiency_median":${"%.3f".format(effMedian)},""" +
+      s""""efficiencies":$effsJson}}"""
     // belt and braces for the driver's parser: the JSON line on stdout
     // (raw — build.sbt forces StdoutOutput so sbt doesn't prefix it) AND
     // a file copy at $SPARK_GRAFT_BENCH_OUT (default ./BENCH_LOCAL.json)

@@ -102,4 +102,50 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(expected.subsetOf(got),
       s"missing ${expected -- got} (identical vectors share every LSH bucket)")
   }
+
+  test("buildIvfIndex + ivfProbe ≡ one-shot ivfTopK (build amortized out of probes)") {
+    val oneShot = SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
+        k = 1, nCentroids = 16, nProbe = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val index = SimilarityOps.buildIvfIndex(emb, "vec_id", "embedding",
+      nCentroids = 16).materialize()
+    try {
+      val split = SimilarityOps.ivfProbe(index, emb, "vec_id", "embedding",
+          k = 1, nProbe = 4)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(split === oneShot)
+      // a second probe batch reuses the same materialized index
+      val batch2 = SimilarityOps.ivfProbe(index, emb.limit(20), "vec_id",
+          "embedding", k = 1, nProbe = 4)
+        .select("query_id").distinct().count()
+      assert(batch2 === 20, "every query in the second batch must get answers")
+    } finally index.unpersist()
+  }
+
+  test("occupancyBits keeps the quadratic bucket-local join bounded as n grows") {
+    // expected uniform occupancy n / 2^bits never exceeds the target …
+    for (n <- Seq(100L, 1000L, 10000L, 1000000L, 100000000L)) {
+      val bits = SimilarityOps.occupancyBits(n, 32)
+      assert(n.toDouble / (1L << bits) <= 32.0 + 1e-9,
+        s"n=$n bits=$bits occupancy=${n.toDouble / (1L << bits)}")
+    }
+    // … and a 10x corpus gets ≥3 more signature bits (≥8x more buckets),
+    // where a FIXED bits would have 10x'd every bucket and 100x'd the join
+    assert(SimilarityOps.occupancyBits(50000L) >= SimilarityOps.occupancyBits(5000L) + 3)
+  }
+
+  test("embeddingNearDups auto-bits: duplicates still found at a 10x corpus") {
+    val base = emb.select("vec_id", "embedding")
+    val x10 = (0 until 10).map(i =>
+      base.select((col("vec_id") + i * 100000).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    // bits derived from n: near-identical vectors share buckets at ANY
+    // width, so recall on true duplicates is unaffected by the autoscale
+    val got = SimilarityOps.embeddingNearDups(x10, "vec_id", "embedding",
+        minCosine = 0.9999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val firstTen = emb.limit(10).select("vec_id").as[Long].collect()
+      .map(i => (i, i + 100000)).toSet
+    assert(firstTen.subsetOf(got), s"missing ${firstTen -- got}")
+  }
 }

@@ -72,37 +72,68 @@ class PlanSpec extends SparkSuite {
       s"plan:\n$plan")
   }
 
-  test("minhash LSH band exchange carries no array column (ids-only candidate join)") {
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-    // force the shuffled-join path (what a 100 TB corpus would take) so the
-    // exchange payload is actually observable at this tiny test size; AQE
-    // off so executedPlan is the concrete plan (AdaptiveSparkPlanExec hides
-    // its inner tree from TreeNode.collect)
+  /** Collect the shuffle exchanges whose payload includes `keyName`, with
+    * the shuffled-join path forced (what a 100 TB corpus would take) so the
+    * exchange payload is observable at tiny test sizes; AQE off so
+    * executedPlan is the concrete plan (AdaptiveSparkPlanExec hides its
+    * inner tree from TreeNode.collect; the plan is forced INSIDE the try —
+    * it is lazy). */
+  private def exchangesCarrying(df: => org.apache.spark.sql.DataFrame,
+                                keyName: String) = {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // every exchange keyed on the band columns must ship a row of scalars;
-    // shingle/signature arrays may only cross the per-pair fetch joins.
-    // (executedPlan is forced inside the try — it is lazy.)
-    val bandExchanges =
-      try graft.ops.DedupOps.minhashNearDups(docs, "doc_id", "text")
-        .queryExecution.executedPlan.collect {
-          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-            if e.child.output.exists(_.name == "band_hash") => e
-        }
-      finally {
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+          if e.child.output.exists(_.name == keyName) => e
       }
-    assert(bandExchanges.nonEmpty, "expected a shuffled band-bucket exchange")
-    val offenders = bandExchanges.flatMap(_.child.output.filter(a =>
+    finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  /** Every exchange carrying `keyName` must ship a row of scalars — the
+    * shingle/signature/embedding arrays may only cross the per-surviving-
+    * pair fetch joins, never ride the (much larger) bucket exchange. */
+  private def assertArrayFree(
+      exchanges: Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike],
+      what: String): Unit = {
+    assert(exchanges.nonEmpty, s"expected a shuffled $what exchange")
+    val offenders = exchanges.flatMap(_.child.output.filter(a =>
       a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
     assert(offenders.isEmpty,
-      s"band exchange ships arrays: ${offenders.map(_.name).mkString(", ")}")
+      s"$what exchange ships arrays: ${offenders.map(_.name).mkString(", ")}")
+  }
+
+  test("minhash LSH band exchange carries no array column (ids-only candidate join)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bandExchanges = exchangesCarrying(
+      graft.ops.DedupOps.minhashNearDups(docs, "doc_id", "text"), "band_hash")
+    assertArrayFree(bandExchanges, "band-bucket")
     // and the banding scan itself must not compute shingles (column pruned)
     val bandSideHasShingles = bandExchanges.exists(
       _.child.toString.contains("shingle_hashes"))
     assert(!bandSideHasShingles, "banding branch must not materialize shingles")
+  }
+
+  test("ANN lshTopK (tbl,sig) exchange carries no embedding arrays") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val sigExchanges = exchangesCarrying(
+      graft.ops.SimilarityOps.lshTopK(emb, "vec_id", "embedding",
+        k = 1, bits = 6, tables = 4), "sig")
+    assertArrayFree(sigExchanges, "LSH table-signature")
+    // the signature branch must not re-read the embedding column
+    assert(!sigExchanges.exists(_.child.toString.contains("qv")),
+      "signature branch must not carry vectors")
+  }
+
+  test("embeddingNearDups bucket exchange carries no embedding arrays") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val sigExchanges = exchangesCarrying(
+      graft.ops.SimilarityOps.embeddingNearDups(emb, "vec_id", "embedding",
+        minCosine = 0.99, bits = 8), "sig")
+    assertArrayFree(sigExchanges, "near-dup bucket")
   }
 }
