@@ -411,6 +411,22 @@ object SparkEntry {
         .groupBy("content_type", "operation").agg(count(lit(1)).as("cnt"))
         .orderBy("content_type", "operation")),
 
+    "q_retry_ledger" -> ((s, d) => {
+      // ST6 transport half: bounded-retry accounting over a deterministic
+      // flaky source (60% failure per attempt, affine-mix streams 101-103,
+      // reproduced exactly by the DuckDB oracle). blobs_retried (ok but
+      // needed >1 try) and the give-up errors are distinct from the
+      // JsonIngest poison quarantine.
+      val ev = t(s, d, "events").select(col("event_id"), col("event_type"))
+      RetryLedger.run(ev, "event_id", maxAttempts = 3)(
+          RetryLedger.affineFailure(600))
+        .groupBy("event_type", "status")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("attempts").cast("long")).as("attempts_total"),
+          sum(when(col("attempts") > 1, 1L).otherwise(0L)).as("retried"))
+        .orderBy("event_type", "status")
+    }),
+
     "q_media_decode" -> ((s, d) => {
       // multimodal: REAL byte-level PGM/WAV decode (codec-free formats;
       // video stays a labeled stub), poison rows surfaced via ok=false;
@@ -544,8 +560,30 @@ object SparkEntry {
         GROUP BY 1, 2 ORDER BY 1, 2"""
   }
 
+  /** Reproduces RetryLedger.run(maxAttempts=3, affineFailure(600)): attempt
+    * `a` of event_id fails iff mix_{100+a}(event_id) mod 1000 < 600. */
+  private def retryLedgerOracleSql: String = {
+    val P = 1000000007L
+    def a(s: Int) = 2654435761L % P + 2L * s + 1L
+    def b(s: Int) = 1013904223L + 7919L * s
+    def f(att: Int) = {
+      val s = 100 + att
+      s"(((event_id % $P) * ${a(s)} + ${b(s)}) % $P % 1000 < 600)"
+    }
+    s"""WITH s AS (SELECT event_type,
+          CASE WHEN NOT ${f(1)} THEN 1 WHEN NOT ${f(2)} THEN 2 ELSE 3 END AS attempts,
+          CASE WHEN NOT ${f(1)} OR NOT ${f(2)} OR NOT ${f(3)} THEN 'ok'
+               ELSE 'error' END AS status
+        FROM events)
+        SELECT event_type, status, count(*) AS cnt,
+          CAST(sum(attempts) AS BIGINT) AS attempts_total,
+          CAST(sum(CASE WHEN attempts > 1 THEN 1 ELSE 0 END) AS BIGINT) AS retried
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
   /** DuckDB-runnable oracles; table names resolve to the same parquet. */
   def oracleSql: Map[String, String] = Map(
+    "q_retry_ledger" -> retryLedgerOracleSql,
     "q_simhash_portable" -> simhashOracleSql,
     "q_dedup_simhash_portable" -> simhashNearDupsOracleSql,
     "q_pipeline_prtg" -> pipelinePrtgOracleSql,

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
+
+/**
+ * Loopback-transport tests: the byte-level sink writers against real local
+ * sockets — a ServerSocket standing in for Graylog's TCP input and a JDK
+ * HttpServer standing in for the OMS data-collector endpoint. Asserts the
+ * record counts reconcile AND the bytes/headers are exactly what the
+ * reference emits (line-framed JSON; SharedKey-signed POST).
+ */
+class TransportSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val routed = Pipeline.routedRecords(
+    DataGen.sequences(spark, 1000L, 4), DataGen.routingRules).cache()
+
+  test("Graylog TCP: every routed record arrives once, line-framed, byte-exact") {
+    val received = new ConcurrentLinkedQueue[String]()
+    val server = new java.net.ServerSocket(0)
+    val pool = Executors.newCachedThreadPool()
+    @volatile var stopped = false
+    pool.submit(new Runnable {
+      def run(): Unit = while (!stopped) {
+        try {
+          val sock = server.accept()
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+                sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+              var line = in.readLine()
+              while (line != null) { received.add(line); line = in.readLine() }
+              sock.close()
+            }
+          })
+        } catch { case _: java.net.SocketException => () /* closed */ }
+      }
+    })
+    try {
+      val shaped = Sinks.graylogShape(routed)
+      val expCount = shaped.count()
+      val sent = Transport.sendGraylogTcp(routed, "127.0.0.1", server.getLocalPort)
+      assert(sent === expCount)
+      // reader threads may still be draining after the job returns
+      val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(30)
+      while (received.size < expCount && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(received.size === expCount, "every record must arrive exactly once")
+      // byte-exact sampled record: the wire line equals the driver-side
+      // to_json of the same shaped row
+      val someId = shaped.select("doc_id").as[String].head()
+      val wanted = shaped.filter(col("doc_id") === someId)
+        .select(to_json(struct(shaped.columns.map(col): _*))).as[String].head()
+      assert(received.contains(wanted), s"wire format drifted; wanted: $wanted")
+      // framing: a received line is self-contained JSON with the enrich field
+      assert(wanted.contains("\"timestamp\":"))
+    } finally {
+      stopped = true
+      server.close()
+      pool.shutdownNow()
+    }
+  }
+
+  test("OMS POST: SharedKey signature verifies server-side; bodies reconcile") {
+    val workspaceId = "ws-test-1234"
+    val keyB64 = java.util.Base64.getEncoder.encodeToString(
+      "a-test-shared-key-32-bytes-long!".getBytes("UTF-8"))
+    case class Post(auth: String, date: String, logType: String,
+                    tgf: String, len: Long, body: String)
+    val posts = new ConcurrentLinkedQueue[Post]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/logs", new com.sun.net.httpserver.HttpHandler {
+      def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        posts.add(Post(
+          ex.getRequestHeaders.getFirst("Authorization"),
+          ex.getRequestHeaders.getFirst("x-ms-date"),
+          ex.getRequestHeaders.getFirst("Log-Type"),
+          ex.getRequestHeaders.getFirst("time-generated-field"),
+          body.getBytes("UTF-8").length.toLong, body))
+        val resp = "OK".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    })
+    server.setExecutor(Executors.newFixedThreadPool(8))
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/api/logs"
+      val expected = Sinks.logAnalyticsShape(routed).cache()
+      val sent = Transport.sendOms(routed, endpoint, workspaceId, keyB64,
+        maxBatch = 50)
+      assert(sent === expected.count())
+      val got = posts.toArray(Array.empty[Post])
+      assert(got.nonEmpty)
+      got.foreach { p =>
+        // recompute the signature from the request's own date + length —
+        // what a real OMS endpoint does to authenticate the caller
+        val want = OmsSignature.buildSignature(workspaceId, keyB64, p.date, p.len)
+        assert(p.auth === want, s"signature mismatch for ${p.logType}")
+        assert(p.tgf === "CreationTime")
+        assert(p.logType.nonEmpty && !p.logType.contains("."))
+      }
+      // bodies: JSON arrays that parse back to exactly the shaped rows
+      val bodies = got.map(_.body).toSeq.toDS()
+      val back = spark.read.json(bodies)
+      assert(back.count() === expected.count())
+      // per-type counts survive the batching
+      val wantTypes = expected.groupBy("log_type").count()
+        .as[(String, Long)].collect().toMap
+      val gotTypes = got.groupBy(_.logType).view.mapValues(ps =>
+        spark.read.json(ps.map(_.body).toSeq.toDS()).count()).toMap
+      assert(gotTypes === wantTypes)
+    } finally server.stop(0)
+  }
+}
