@@ -242,23 +242,59 @@ object DedupOps {
   }
 
   /**
-   * Exact n-gram Jaccard for all pairs within a blocking key (e.g. lang).
-   * This is the verification primitive — at scale you block first (LSH above
-   * or a cheap key) and never run it all-pairs.
+   * Exact n-gram Jaccard pairs within a blocking key (e.g. lang) — all
+   * pairs reaching the threshold, found WITHOUT the quadratic in-block
+   * self-join, via the two standard lossless set-similarity-join prunes:
+   *
+   *  - PREFIX FILTER (PPJoin family): under any global element order, two
+   *    sets with |A∩B| ≥ ceil(t·|x|) must share an element within each
+   *    set's first |x| - ceil(t·|x|) + 1 elements — if all shared elements
+   *    sat in A's suffix of ceil(t·|A|) - 1 slots, there'd be too few of
+   *    them. So candidates come from a join keyed on (block, prefix
+   *    shingle): each doc explodes only its sorted-hash prefix (~(1-t) of
+   *    its shingles), and a candidate must collide there. Disjoint-set
+   *    pairs are never generated at all — at 100 TB the candidate count is
+   *    driven by actual similarity, not block size².
+   *  - SIZE FILTER: J(A,B) ≥ t forces min(|A|,|B|)·100 ≥ t·max(|A|,|B|)
+   *    (|A∩B| ≤ min, |A∪B| ≥ max), applied inside the candidate join.
+   *
+   * Both prunes only drop pairs that CANNOT reach the threshold, so the
+   * result is bit-identical to the all-pairs formulation (DedupOpsSpec
+   * asserts equality; the DuckDB oracle computes all-pairs independently).
+   * The candidate exchange carries (blk, token, id, size) — scalars only;
+   * shingle arrays join back once per surviving pair, as everywhere else.
+   * Zero-shingle docs (< n words) have no prefix to collide on but pair
+   * with each other at J = 0/0 (union empty ⇒ the ≥ filter passes, the
+   * all-pairs semantics the oracle pins), handled by a tiny side branch.
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, minJaccardPct: Int): DataFrame = {
+    require(minJaccardPct >= 1 && minJaccardPct <= 100,
+      s"minJaccardPct=$minJaccardPct: the prefix filter needs a positive threshold " +
+      "(at 0 every pair qualifies vacuously — that's a cross join, not a similarity join)")
     val src = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(textCol).as("text"))
-    // block exchange carries ids only; shingles join back per pair (same
-    // shape as minhashNearDups — the block self-join payload must not be
-    // the shingle arrays)
-    val keys = src.select(col("blk"), col("id"))
-    val pairs = keys.select(col("blk"), col("id").as("id_a"))
-      .join(keys.select(col("blk"), col("id").as("id_b")), Seq("blk"))
+    val sized = src.select(col("blk"), col("id"),
+        array_sort(graft.functions.GraftFunctions.shingle_hashes(col("text"), n)).as("sh"))
+      .withColumn("ns", size(col("sh")))
+    // prefix length |x| - ceil(t·|x|) + 1 (ints: ceil(p·ns/100) = (p·ns+99) div 100)
+    val ceilT = floor((col("ns") * minJaccardPct + 99) / lit(100.0)).cast("int")
+    val pref = sized
+      .select(col("blk"), col("id"), col("ns"),
+        explode(slice(col("sh"), lit(1), greatest(col("ns") - ceilT + 1, lit(0)))).as("tok"))
+    val a = pref.select(col("blk"), col("tok"), col("id").as("id_a"), col("ns").as("ns_a"))
+    val b = pref.select(col("blk"), col("tok"), col("id").as("id_b"), col("ns").as("ns_b"))
+    val candidates = a.join(b, Seq("blk", "tok"))
       .filter(col("id_a") < col("id_b"))
-    val sh = src.select(col("id"),
-      graft.functions.GraftFunctions.shingle_hashes(col("text"), n).as("sh"))
-    pairs
+      .filter(least(col("ns_a"), col("ns_b")) * 100 >=
+              greatest(col("ns_a"), col("ns_b")) * minJaccardPct)
+      .select("blk", "id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val emptyKeys = sized.filter(col("ns") === 0).select(col("blk"), col("id"))
+    val emptyPairs = emptyKeys.select(col("blk"), col("id").as("id_a"))
+      .join(emptyKeys.select(col("blk"), col("id").as("id_b")), Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+    val sh = sized.select(col("id"), col("sh"))
+    candidates.unionByName(emptyPairs)
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .transform(verifyJaccard(minJaccardPct))

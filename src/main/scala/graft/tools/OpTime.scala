@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** One-off single-operator timer: `runMain graft.tools.OpTime <op> [sfDir]`.
+  * Best-of-2 after a warm run — for iterating on one op without paying the
+  * full Bench sweep. */
+object OpTime {
+  def main(args: Array[String]): Unit = {
+    val op = args.headOption.getOrElse("ngram")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = graft.pipeline.GraftSession.builder("local[32]", 32, "optime").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t(name: String) = spark.read.parquet(s"$sfDir/$name.parquet")
+    def run(): Long = op match {
+      case "ngram" =>
+        DedupOps.ngramJaccardPairs(t("documents"), "doc_id", "text", "lang", 2, 55).count()
+      case "minhash" =>
+        DedupOps.minhashNearDups(t("documents"), "doc_id", "text", 2, 8, 4, 60).count()
+      case "lsh" =>
+        val n = t("embeddings").count()
+        val bits = SimilarityOps.occupancyBits(n)
+        SimilarityOps.lshTopK(t("embeddings"), "vec_id", "embedding", 1, bits, 8).count()
+      case "embdup" =>
+        SimilarityOps.embeddingNearDups(t("embeddings"), "vec_id", "embedding", 0.99).count()
+      case "ivf" =>
+        val n = t("embeddings").count()
+        val c = math.max(16, math.sqrt(n.toDouble).ceil.toInt)
+        val idx = SimilarityOps.buildIvfIndex(t("embeddings"), "vec_id", "embedding", c).materialize()
+        val r = SimilarityOps.ivfProbe(idx, t("embeddings"), "vec_id", "embedding", 1, 8).count()
+        idx.unpersist(); r
+      case other => sys.error(s"unknown op: $other")
+    }
+    run() // warm
+    val times = (1 to 2).map { _ =>
+      val t0 = System.nanoTime(); val n = run()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    println(f"[optime] $op best=${times.map(_._1).min}%.2fs rows=${times.head._2} all=${times.map(t => f"${t._1}%.2f").mkString(",")}")
+    spark.stop()
+  }
+}

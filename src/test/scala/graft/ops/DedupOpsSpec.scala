@@ -28,6 +28,22 @@ class DedupOpsSpec extends SparkSuite {
       s"(${lsh.size}/${exact.size})")
   }
 
+  test("ngram size filter is lossless vs the unpruned all-pairs formulation") {
+    // brute: every same-block pair, exact Jaccard via the HOF set ops —
+    // no size band, no kernel. The pruned operator must emit the same set.
+    val sh = docs.select(col("lang").as("blk"), col("doc_id").as("id"),
+      graft.functions.GraftFunctions.shingle_hashes(col("text"), 2).as("sh"))
+    val brute = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+      .join(sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b")), Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * 100 >=
+              size(array_union(col("sh_a"), col("sh_b"))) * 55)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pruned = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", "lang", 2, 55)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pruned === brute)
+  }
+
   test("minhash LSH finds all exact duplicates (J=100 pairs always collide)") {
     val dup = docs.limit(20)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
