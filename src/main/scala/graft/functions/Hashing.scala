@@ -303,6 +303,64 @@ object Hashing {
   def cosineF(a: ArrayData, b: ArrayData, isFloat: Boolean): Double =
     dotF(a, b, isFloat) / (math.sqrt(dotF(a, a, isFloat)) * math.sqrt(dotF(b, b, isFloat)))
 
+  /**
+   * Top-`n` centroid ids for a vector, by cosine descending with ties
+   * broken by smaller cid — the IVF coarse-quantizer assignment as ONE
+   * narrow per-row call over driver-collected centroids (row-major
+   * `centsFlat`, `dim` floats per centroid). The broadcast-join + window
+   * formulation materializes n_vectors × n_centroids rows and shuffles
+   * them through a per-id window — at corpus scale that intermediate
+   * dwarfs the data itself; this kernel is O(k·d) per row with zero
+   * exchange. Cosine accumulation order matches [[cosineF]] exactly, so
+   * rankings are bit-identical to the join formulation (pinned in
+   * FunctionsSpec). Zero-norm inputs/centroids have undefined cosine
+   * (NaN): they are skipped rather than ranked by NaN-sort quirks, so a
+   * degenerate vector gets fewer (possibly zero) assignments.
+   */
+  def nearestCentroids(v: ArrayData, isFloat: Boolean, centsFlat: Array[Float],
+                       dim: Int, cids: Array[Long], n: Int): ArrayData = {
+    val k = cids.length
+    val len = v.numElements()
+    // |v|² once, same fold as dotF(v, v)
+    var nv = 0.0
+    var i = 0
+    if (isFloat) while (i < len) { val x = v.getFloat(i).toDouble; nv += x * x; i += 1 }
+    else while (i < len) { val x = v.getDouble(i); nv += x * x; i += 1 }
+    val vNorm = math.sqrt(nv)
+    val simTop = Array.fill(n)(Double.NegativeInfinity)
+    val cidTop = Array.fill(n)(Long.MaxValue)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      val base = c * dim
+      val m = math.min(len, dim)
+      var dot = 0.0
+      var nc = 0.0
+      i = 0
+      if (isFloat)
+        while (i < m) { dot += v.getFloat(i).toDouble * centsFlat(base + i).toDouble; i += 1 }
+      else
+        while (i < m) { dot += v.getDouble(i) * centsFlat(base + i).toDouble; i += 1 }
+      i = 0
+      while (i < dim) { val x = centsFlat(base + i).toDouble; nc += x * x; i += 1 }
+      val sim = dot / (vNorm * math.sqrt(nc))
+      val cid = cids(c)
+      // insertion into the running top-n (n is small; NaN fails every
+      // comparison and is naturally skipped)
+      var j = math.min(filled, n - 1)
+      if (sim > simTop(j) || (sim == simTop(j) && cid < cidTop(j))) {
+        if (filled < n) filled += 1
+        while (j > 0 && (sim > simTop(j - 1) ||
+               (sim == simTop(j - 1) && cid < cidTop(j - 1)))) {
+          simTop(j) = simTop(j - 1); cidTop(j) = cidTop(j - 1); j -= 1
+        }
+        simTop(j) = sim; cidTop(j) = cid
+      }
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(cidTop, filled))
+  }
+
   /** Fused token-array generation for the synthetic sequences table —
     * bit-identical to the HOF formulation in DataGen
     * (`transform(sequence(...), j -> pmod(xxhash64(id, j), V))`, which

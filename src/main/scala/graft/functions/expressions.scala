@@ -257,6 +257,42 @@ case class QuantizeI8Expr(child: Expression)
     copy(child = c)
 }
 
+/** Per-row IVF coarse-quantizer assignment: top-`n` centroid ids by cosine
+  * (desc, ties by smaller cid) over driver-collected centroids — replaces
+  * the broadcast-join + per-id window formulation, which materializes
+  * rows × centroids and shuffles it (see Hashing.nearestCentroids).
+  * Centroids ride the codegen references, not the plan tree. */
+case class NearestCentroidsExpr(child: Expression, centsFlat: Array[Float],
+                                dim: Int, cids: Array[Long], n: Int)
+    extends UnaryExpression {
+  require(dim > 0 && n > 0 && centsFlat.length == cids.length * dim)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def isFloatArray: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expects array<float> or array<double>, got ${other.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    Hashing.nearestCentroids(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloatArray, centsFlat, dim, cids, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centsFlat", centsFlat, "float[]")
+    val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Hashing.nearestCentroids($c, $isFloatArray, $centsRef, $dim, $cidsRef, $n)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroidsExpr =
+    copy(child = c)
+}
+
 case class GenTokensExpr(child: Expression, vocab: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -341,6 +377,19 @@ object GraftFunctions {
   def lsh_signature(v: Column, bits: Int, offset: Int = 0): Column =
     c(LshSignatureExpr(ColumnGlue.expression(v), bits, offset))
   def quantize_i8(v: Column): Column = c(QuantizeI8Expr(ColumnGlue.expression(v)))
+  /** `cents` = (cid, centroid vector) pairs, driver-side (broadcast-sized
+    * by the IVF contract). */
+  def nearest_centroids(v: Column, cents: Seq[(Long, Array[Float])], n: Int): Column = {
+    require(cents.nonEmpty)
+    val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim), "centroid dims must agree")
+    val flat = new Array[Float](cents.size * dim)
+    cents.zipWithIndex.foreach { case ((_, cv), i) =>
+      System.arraycopy(cv, 0, flat, i * dim, dim)
+    }
+    c(NearestCentroidsExpr(ColumnGlue.expression(v), flat, dim,
+      cents.map(_._1).toArray, n))
+  }
   def jaccard_counts(a: Column, b: Column): Column =
     c(JaccardCountsExpr(ColumnGlue.expression(a), ColumnGlue.expression(b)))
   def dot_product(a: Column, b: Column): Column = c(DotProductExpr(ColumnGlue.expression(a), ColumnGlue.expression(b)))

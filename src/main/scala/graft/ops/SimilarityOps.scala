@@ -141,96 +141,117 @@ object SimilarityOps {
    */
   def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int = 2): DataFrame = {
     require(k > 0 && iters >= 0)
+    val spark = vecs.sparkSession
     val n = vecs.count()
     val mod = 1000000L
     val target = math.min(n, 64L * k)
     val thresh = if (n == 0) mod else math.min(mod, mod * target / n + 1)
+    // pin the (small, ≤64·k-row) sample: every Lloyd round re-scans it
     val train = vecs.filter(pmod(xxhash64(col("id"), lit(17)), lit(mod)) < thresh)
-    // localCheckpoint after init and each Lloyd round: centroids are tiny
-    // (k × dim floats) but their LINEAGE is a join+window+double-aggregate
-    // chain per round — left lazy, every downstream use (the homed/probe
-    // rankings reference cents twice) re-executes the whole chain, and the
-    // chain itself goes quadratic in `iters`.
-    var cents = train
-      .orderBy(pmod(xxhash64(col("id"), lit(31)), lit(mod)), col("id"))
-      .limit(k).select(col("id").as("cid"), col("v").as("cv"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val assigned = train.join(broadcast(cents))
-        .withColumn("csim", cosineFast(col("v"), col("cv")))
-        .withColumn("crank", row_number().over(
-          Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))))
-        .filter(col("crank") === 1)
-      cents = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+    // centroids live on the DRIVER between rounds (they are k × dim floats
+    // — broadcast-sized by contract): each Lloyd round is then ONE job —
+    // narrow per-row assignment via the nearest_centroids kernel +
+    // per-(cluster, dim) mean — instead of the old join + per-id window +
+    // two-level aggregate chain whose lineage had to be checkpointed per
+    // round. Same math, same argmax tie-break (FunctionsSpec pins the
+    // kernel to the join+window ranking bit-for-bit).
+    var centArr: Array[(Long, Array[Float])] = train
+      .orderBy(pmod(xxhash64(col("id"), lit(31)), lit(mod)), col("id"))
+      .limit(k).select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    for (_ <- 1 to iters if centArr.nonEmpty) {
+      val means = train.select(
+          // get() (null out-of-bounds) not element_at: a zero-norm vector
+          // has no defined nearest centroid and must drop out, not throw
+          get(graft.functions.GraftFunctions.nearest_centroids(
+            col("v"), centArr.toSeq, 1), lit(0)).as("cid"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .filter(col("cid").isNotNull)
         .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"),
-          transform(col("pm"), p => p.getField("m").cast("float")).as("cv"))
-        .localCheckpoint()
+        .collect()
+      // clusters that lose all points drop out (k shrinks, never crashes)
+      centArr = means.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        val dim = rows.map(_.getInt(1)).max + 1
+        val cv = new Array[Float](dim)
+        rows.foreach(r => cv(r.getInt(1)) = r.getDouble(2).toFloat)
+        (cid, cv)
+      }.toArray.sortBy(_._1)
     }
-    cents
+    import spark.implicits._
+    centArr.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv")
+      .select(col("cid"), col("cv").cast("array<float>").as("cv"))
   }
 
   /**
-   * A built IVF index: broadcast-sized `centroids` (cid, cv) and the
-   * inverted file `homed` (cid, neighbor_id, cv2) — the corpus laid out by
-   * centroid id (at 100 TB: a table bucketed/partitioned on cid, so probes
-   * join against co-located posting lists with no corpus shuffle). Both
-   * sides are persisted: index build is paid ONCE and amortized across
-   * every probe batch (the reference pattern for any real ANN service —
-   * re-training k-means per query batch buries probe latency in build
-   * cost). Call `unpersist()` when done.
+   * A built IVF index: driver-side `centroids` (cid, vector — tiny and
+   * broadcast-sized by the coarse-quantizer contract, nCentroids × dim ×
+   * 4B ≤ ~100 MB) and the inverted file `homed` (cid, neighbor_id, cv2) —
+   * the corpus laid out by centroid id (at 100 TB: a table bucketed/
+   * partitioned on cid, so probes join against co-located posting lists
+   * with no corpus shuffle). The inverted file is persisted: index build
+   * is paid ONCE and amortized across every probe batch (the reference
+   * pattern for any real ANN service — re-training k-means per query
+   * batch buries probe latency in build cost). Call `unpersist()` when
+   * done.
    */
-  final case class IvfIndex(centroids: DataFrame, homed: DataFrame) {
+  final case class IvfIndex(centroids: Array[(Long, Array[Float])],
+                            homed: DataFrame) {
     /** Force materialization (so probe timings never pay build cost). */
-    def materialize(): IvfIndex = { centroids.count(); homed.count(); this }
-    def unpersist(): Unit = { centroids.unpersist(); homed.unpersist() }
+    def materialize(): IvfIndex = { homed.count(); this }
+    def unpersist(): Unit = homed.unpersist()
   }
 
   /**
    * Build the IVF index: k-means coarse quantizer + multi-assignment
    * ("spill", nHome nearest lists per vector — index is nHome× bigger, but
    * boundary neighbors stop being missed; FAISS calls this replication).
-   * Centroid ranking is a broadcast join (narrow, no corpus shuffle).
+   *
+   * Assignment is ONE narrow codegen call per row (`nearest_centroids`,
+   * centroids embedded in the generated code): the broadcast-join + per-id
+   * window formulation it replaces materializes rows × centroids
+   * intermediates and shuffles them through the window — at 10^12 rows ×
+   * 10^4 centroids that intermediate dwarfs the corpus. FunctionsSpec pins
+   * the kernel's ranking bit-identical to the join formulation.
    */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     nCentroids: Int, kmeansIters: Int = 2,
                     nHome: Int = 2, persist: Boolean = true): IvfIndex = {
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cents0 = kmeansCentroids(vecs, nCentroids, kmeansIters)
-    val cents = if (persist) cents0.persist() else cents0
-    val homed0 = vecs.join(broadcast(cents))
-      .withColumn("csim", cosineFast(col("v"), col("cv")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))))
-      .filter(col("crank") <= nHome)
-      .select(col("cid"), col("id").as("neighbor_id"), col("v").as("cv2"))
+    val centArr = kmeansCentroids(vecs, nCentroids, kmeansIters).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val homed0 = vecs.select(
+        explode(graft.functions.GraftFunctions.nearest_centroids(
+          col("v"), centArr.toSeq, nHome)).as("cid"),
+        col("id").as("neighbor_id"), col("v").as("cv2"))
     val homed = if (persist) homed0.persist() else homed0
-    IvfIndex(cents, homed)
+    IvfIndex(centArr, homed)
   }
 
   /**
-   * Probe a built IVF index: each query ranks the broadcast centroids,
-   * visits its `nProbe` nearest posting lists, and exact-ranks only the
-   * vectors homed there. The only exchange is the candidate join keyed on
-   * centroid id — the inverted-file partition layout.
+   * Probe a built IVF index: each query picks its `nProbe` nearest
+   * centroids scan-side (same narrow kernel as the build), visits those
+   * posting lists, and exact-ranks only the vectors homed there. The only
+   * exchange is the candidate join keyed on centroid id — the
+   * inverted-file partition layout.
    */
   def ivfProbe(index: IvfIndex, queries: DataFrame, idCol: String,
                vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probes = q.join(broadcast(index.centroids))
-      .withColumn("csim", cosineFast(col("qv"), col("cv")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))))
-      .filter(col("crank") <= nProbe)
-      .select(col("cid"), col("query_id"), col("qv"))
+    val probes = queries.select(
+      explode(graft.functions.GraftFunctions.nearest_centroids(
+        col(vecCol), index.centroids.toSeq, nProbe)).as("cid"),
+      col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = probes.join(index.homed, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      // multi-assignment can surface a pair via several lists — rank once
-      .dropDuplicates("query_id", "neighbor_id")
+      // score INSIDE the join stage, where both vectors are already
+      // co-located — everything downstream is (ids, sim) scalars. Multi-
+      // assignment surfaces a pair once per shared list with an identical
+      // sim; collapsing via a map-side-combining max shuffles 24-byte rows,
+      // where a dropDuplicates BEFORE scoring shuffled both embedding
+      // vectors per candidate (~30x the bytes, measured ~2x probe latency)
       .withColumn("sim", cosineFast(col("qv"), col("cv2")))
+      .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -27,8 +27,11 @@ object OpTime {
       case "ivf" =>
         val n = t("embeddings").count()
         val c = math.max(16, math.sqrt(n.toDouble).ceil.toInt)
+        val t0 = System.nanoTime()
         val idx = SimilarityOps.buildIvfIndex(t("embeddings"), "vec_id", "embedding", c).materialize()
+        val t1 = System.nanoTime()
         val r = SimilarityOps.ivfProbe(idx, t("embeddings"), "vec_id", "embedding", 1, 8).count()
+        println(f"[optime]   ivf build=${(t1 - t0) / 1e9}%.2fs probe=${(System.nanoTime() - t1) / 1e9}%.2fs")
         idx.unpersist(); r
       case other => sys.error(s"unknown op: $other")
     }

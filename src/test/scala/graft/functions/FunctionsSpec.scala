@@ -67,6 +67,25 @@ class FunctionsSpec extends SparkSuite {
     assert(diff === 0)
   }
 
+  test("nearest_centroids ≡ broadcast-join + window ranking (bit-identical)") {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val cents = SimilarityOps.kmeansCentroids(vecs, 8, 2)
+    val centArr = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    val viaExpr = vecs.select(col("id"),
+        posexplode(nearest_centroids(col("v"), centArr, 3)).as(Seq("pos", "cid")))
+      .select(col("id"), col("cid"), (col("pos") + 1).cast("int").as("crank"))
+      .as[(Long, Long, Int)].collect().toSet
+    val viaJoin = vecs.join(broadcast(cents))
+      .withColumn("csim", cosine_sim(col("v"), col("cv")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))))
+      .filter(col("crank") <= 3).select(col("id"), col("cid"), col("crank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaExpr === viaJoin)
+  }
+
   test("audit fields are NULL for malformed ids (quarantined, never binned)") {
     import graft.pipeline.Parse
     val ids = Seq("doc-000000000042", "garbage", "doc-nodigits", "", "usr-0042")
