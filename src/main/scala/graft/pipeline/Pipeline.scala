@@ -47,6 +47,13 @@ object Pipeline {
     // (at 100 TB this trades executor memory/spill against N re-scans;
     // keep true when the source scan dominates).
     persistRouted: Boolean = true,
+    // Target rows per output file for the record sinks. 64 input
+    // partitions × 8 concurrent sinks × partitionBy values = hundreds of
+    // tiny parquet files per run — the classic small-files problem, paid
+    // once in write overhead and forever by every downstream scan. Sizing
+    // uses the already-materialized routed count and a narrow coalesce
+    // (no exchange). 0 disables (one file per cache partition).
+    targetRowsPerFile: Long = 250000L,
     // None = engine default: every sink shape is written (bench/test mode).
     // Some(outputConfig) = honor the reference's per-interface enablement:
     // only enabled record sinks are written; the file sink becomes a real
@@ -121,7 +128,14 @@ object Pipeline {
     try {
       // Materialize the shared cache once (otherwise the first concurrent
       // sink job would build it while the others wait on cache locks).
-      if (cfg.persistRouted) cached.count()
+      val routedCount = if (cfg.persistRouted) cached.count() else -1L
+      // Output-file sizing for the record sinks (see targetRowsPerFile):
+      // never expands parallelism, only merges under-filled partitions.
+      val outParts =
+        if (routedCount >= 0 && cfg.targetRowsPerFile > 0)
+          math.max(1L, (routedCount + cfg.targetRowsPerFile - 1) / cfg.targetRowsPerFile).toInt
+        else 0
+      def sized(df: DataFrame) = if (outParts > 0) df.coalesce(outParts) else df
 
       // Fan out the sink writes as CONCURRENT jobs — the reference's
       // interfaces all consume the same batch in parallel
@@ -154,9 +168,9 @@ object Pipeline {
       val recordSinks: Seq[() => Unit] = cfg.output match {
         case None => Seq( // engine default: all sink shapes
           () => Sinks.write(Sinks.fileCsvShape(salted), s"$outDir/file_csv", Seq("content_type")),
-          () => Sinks.write(Sinks.graylogShape(cached), s"$outDir/graylog"),
-          () => Sinks.write(Sinks.fluentdShape(cached, cfg.tenant), s"$outDir/fluentd"),
-          () => Sinks.write(Sinks.logAnalyticsShape(cached), s"$outDir/log_analytics", Seq("log_type")))
+          () => Sinks.write(Sinks.graylogShape(sized(cached)), s"$outDir/graylog"),
+          () => Sinks.write(Sinks.fluentdShape(sized(cached), cfg.tenant), s"$outDir/fluentd"),
+          () => Sinks.write(Sinks.logAnalyticsShape(sized(cached)), s"$outDir/log_analytics", Seq("log_type")))
         case Some(out) => // reference semantics: only enabled interfaces
           out.file.filter(_.enabled).map { f => () =>
             if (f.separateByContentType)
@@ -170,11 +184,13 @@ object Pipeline {
           out.azureLogAnalytics.filter(_.enabled).map(_ => () =>
             Sinks.write(Sinks.logAnalyticsShape(cached), s"$outDir/log_analytics", Seq("log_type")))
       }
+      // operational outputs: the aggregates are a handful of rows — one
+      // file each, not one per shuffle partition
       val writes = recordSinks ++ Seq(
-        () => Sinks.write(Sinks.prtgShape(cached), s"$outDir/prtg"),
-        () => Sinks.write(Sinks.routedChecksum(cached), s"$outDir/checksums"),
-        () => Sinks.write(quarantine, s"$outDir/quarantine"),
-        () => Sinks.write(partMetrics, s"$outDir/metrics"))
+        () => Sinks.write(Sinks.prtgShape(cached).coalesce(1), s"$outDir/prtg"),
+        () => Sinks.write(Sinks.routedChecksum(cached).coalesce(1), s"$outDir/checksums"),
+        () => Sinks.write(sized(quarantine), s"$outDir/quarantine"),
+        () => Sinks.write(partMetrics.coalesce(1), s"$outDir/metrics"))
       Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
 
       // State commit strictly AFTER all sink writes (resume contract).

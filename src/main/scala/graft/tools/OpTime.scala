@@ -33,6 +33,15 @@ object OpTime {
         val r = SimilarityOps.ivfProbe(idx, t("embeddings"), "vec_id", "embedding", 1, 8).count()
         println(f"[optime]   ivf build=${(t1 - t0) / 1e9}%.2fs probe=${(System.nanoTime() - t1) / 1e9}%.2fs")
         idx.unpersist(); r
+      case "pipe" =>
+        val outDir = java.nio.file.Files.createTempDirectory("optime_pipe").toString
+        graft.pipeline.Pipeline.run(spark,
+          graft.pipeline.DataGen.sequences(spark, 1000000L, 64), outDir).stats.rowsRouted
+      case "pipe0" => // A/B: file sizing disabled (one file per cache partition)
+        val outDir = java.nio.file.Files.createTempDirectory("optime_pipe0").toString
+        graft.pipeline.Pipeline.run(spark,
+          graft.pipeline.DataGen.sequences(spark, 1000000L, 64), outDir,
+          graft.pipeline.Pipeline.Config(targetRowsPerFile = 0L)).stats.rowsRouted
       case other => sys.error(s"unknown op: $other")
     }
     run() // warm
