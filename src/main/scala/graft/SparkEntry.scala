@@ -337,6 +337,17 @@ object SparkEntry {
         .select("query_id", "neighbor_id").orderBy("query_id")
     }),
 
+    "q_ann_lsh_top1" -> ((s, d) => {
+      // multi-table LSH ANN under the HARD signal: the deterministic
+      // hyperplane family is portable integer+IEEE arithmetic, so the
+      // DuckDB oracle reproduces signatures, buckets, candidates AND the
+      // exact-cosine rank — the engine's recall curve itself is verified,
+      // not just spec-pinned.
+      val e = t(s, d, "embeddings")
+      SimilarityOps.lshTopK(e, "vec_id", "embedding", k = 1, bits = 4, tables = 2)
+        .select("query_id", "neighbor_id").orderBy("query_id")
+    }),
+
     "q_embed_neardup" -> ((s, d) => {
       val e = t(s, d, "embeddings").select("vec_id", "embedding")
       val dups = e.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
@@ -581,9 +592,48 @@ object SparkEntry {
         FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
   }
 
+  /** Reproduces lshTopK(k=1, bits=4, tables=2): per table t, bit i of the
+    * signature is the sign of Σ_d x_d·plane(t·4+i, d) with
+    * plane(p, d) = ((d·(2654435761+40503p) + 97531p+12345) mod 1000003) /
+    * 500001.5 − 1 — integer mixes are exact and the double fold order
+    * matches Hashing.lshSignature, so signatures are bit-identical;
+    * candidates share a (table, sig) bucket; exact cosine ranks them. */
+  private def annLshOracleSql: String = {
+    val bits = 4
+    def planeExpr(p: Int): String =
+      s"(((d * ${2654435761L + 40503L * p} + ${97531L * p + 12345L}) % 1000003)::DOUBLE / 500001.5 - 1.0)"
+    def projExpr(p: Int): String =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(0, len(e)),
+          d -> e[CAST(d AS INT) + 1] * ${planeExpr(p)})), (acc, x) -> acc + x)"""
+    def sigExpr(t: Int): String =
+      (0 until bits).map(i =>
+        s"(CASE WHEN ${projExpr(t * bits + i)} >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+    val cos =
+      """list_reduce(list_prepend(0.0, list_transform(range(1, len(va.e)+1), i -> va.e[i]*vb.e[i])), (acc,x) -> acc+x) /
+         (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(va.e)+1), i -> va.e[i]*va.e[i])), (acc,x) -> acc+x)) *
+          sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(vb.e)+1), i -> vb.e[i]*vb.e[i])), (acc,x) -> acc+x)))"""
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings),
+        sg AS (SELECT vec_id, 0 AS tbl, CAST(${sigExpr(0)} AS BIGINT) AS sig FROM v
+               UNION ALL
+               SELECT vec_id, 1 AS tbl, CAST(${sigExpr(1)} AS BIGINT) AS sig FROM v),
+        cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+                 FROM sg a JOIN sg b ON a.tbl = b.tbl AND a.sig = b.sig
+                 WHERE a.vec_id <> b.vec_id),
+        p AS (SELECT c.query_id, c.neighbor_id, $cos AS sim
+              FROM cand c
+              JOIN v va ON va.vec_id = c.query_id
+              JOIN v vb ON vb.vec_id = c.neighbor_id),
+        r AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+              FROM p)
+        SELECT query_id, neighbor_id FROM r WHERE rn = 1 ORDER BY query_id"""
+  }
+
   /** DuckDB-runnable oracles; table names resolve to the same parquet. */
   def oracleSql: Map[String, String] = Map(
     "q_retry_ledger" -> retryLedgerOracleSql,
+    "q_ann_lsh_top1" -> annLshOracleSql,
     "q_simhash_portable" -> simhashOracleSql,
     "q_dedup_simhash_portable" -> simhashNearDupsOracleSql,
     "q_pipeline_prtg" -> pipelinePrtgOracleSql,
