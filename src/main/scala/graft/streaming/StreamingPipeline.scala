@@ -27,10 +27,19 @@ import graft.pipeline._
  */
 object StreamingPipeline {
 
-  /** Run one AvailableNow drain over `inputDir`. Returns rows routed. */
+  /** Run one AvailableNow drain over `inputDir`. Returns rows routed.
+    *
+    * `transport`, when set, emits each micro-batch's routed rows over a
+    * byte-level sink (e.g. `Transport.sendGraylogTcp`) inside the
+    * marker-guarded block — so a fully-committed batch is never re-sent on
+    * restart. Delivery is at-least-once at the wire (a crash between the
+    * socket emit and the marker re-sends that one batch — exactly the
+    * reference's retry behavior; its Graylog input has no dedup either),
+    * while the FILE outputs stay exactly-once via the marker protocol. */
   def runAvailableNow(spark: SparkSession, inputDir: String, outDir: String,
                       cfg: Pipeline.Config = Pipeline.Config(),
-                      maxFilesPerTrigger: Int = 4): Long = {
+                      maxFilesPerTrigger: Int = 4,
+                      transport: Option[DataFrame => Long] = None): Long = {
     val state = new StateStore(s"$outDir/state")
     val routedTotal = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -75,6 +84,7 @@ object StreamingPipeline {
               routed.write.mode("overwrite").parquet(batchDir.toString)
               Sinks.prtgShape(routed)
                 .write.mode("overwrite").parquet(s"$outDir/prtg_batches/batch_id=$batchId")
+              transport.foreach(send => send(routed))
               routedTotal.addAndGet(routed.count())
               // commit all received ids (filtered rows included — reference
               // semantics, src/collector.rs:161) strictly after the writes
