@@ -154,6 +154,42 @@ object Bench {
       o.join(c, c("c_custkey") === o("o_custkey"))
         .groupBy("c_mktsegment").agg(count(lit(1))).count()
     }
+
+    // ---- byte-level sink throughput (loopback) --------------------------
+    // The reference's real output path is network emission; time the
+    // line-framed Graylog TCP transport against a loopback discard server
+    // (accept + drain, no parsing) so the number is serialization + socket,
+    // not receiver compute. Routed set persisted first: this measures the
+    // transport, not the pipeline recompute.
+    locally {
+      val routedForTx = Pipeline.routedRecords(
+        DataGen.sequences(spark, nRows, cpus * 2), DataGen.routingRules)
+        .persist()
+      routedForTx.count()
+      val ss = new java.net.ServerSocket(0)
+      val txPool = java.util.concurrent.Executors.newCachedThreadPool()
+      @volatile var txStop = false
+      txPool.submit(new Runnable {
+        def run(): Unit = while (!txStop) {
+          try {
+            val s = ss.accept()
+            txPool.submit(new Runnable {
+              def run(): Unit = {
+                val in = s.getInputStream
+                val buf = new Array[Byte](1 << 16)
+                while (in.read(buf) >= 0) {}
+                s.close()
+              }
+            })
+          } catch { case _: Exception => () }
+        }
+      })
+      try queries("sink_graylog_tcp") = time {
+        Transport.sendGraylogTcp(routedForTx, "127.0.0.1", ss.getLocalPort)
+      } finally {
+        txStop = true; ss.close(); txPool.shutdownNow(); routedForTx.unpersist()
+      }
+    }
     spark.stop()
 
     // ---- scaling probe: identical compute at N/4 and N cores -----------

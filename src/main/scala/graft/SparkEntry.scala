@@ -288,6 +288,13 @@ object SparkEntry {
           col("is_canonical").cast("int").as("is_canonical"))
         .orderBy("id")),
 
+    "q_dedup_survivors" -> ((s, d) =>
+      // the corpus a training pipeline keeps: canonical doc per near-dup
+      // cluster, full original rows
+      DedupOps.dedupNearDups(t(s, d, "documents").select("doc_id", "text", "lang"),
+          "doc_id", "text", n = 2, k = 8, bands = 4, minJaccardPct = 60)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     "q_sample_stratified" -> ((s, d) =>
       // deterministic data mixing: per-language keep rates, reproducible
       // across engines from the portable hash (no RNG state)
@@ -537,6 +544,23 @@ object SparkEntry {
         SELECT id, min(r) AS cluster,
                CAST(min(r) = id AS INT) AS is_canonical
         FROM reach GROUP BY id ORDER BY id"""
+
+  /** Survivors = docs whose connected-component min label is themselves
+    * (same recursive-CTE closure as q_dedup_clusters, joined back to the
+    * full documents row). */
+  private def dedupSurvivorsOracleSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                  UNION ALL SELECT id_b, id_a FROM pr),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+        ),
+        surv AS (SELECT id FROM reach GROUP BY id HAVING min(r) = id)
+        SELECT d.doc_id, d.lang FROM documents d
+        JOIN surv s ON s.id = d.doc_id
+        ORDER BY d.doc_id"""
 
   /** The flagship pipeline, reproduced end to end in DuckDB: the same
     * affine mixes (Parse.mix family, A_s = 2654435761 mod P + 2s+1,
@@ -795,6 +819,7 @@ object SparkEntry {
     // polynomial fold DedupOps.bandedSignature computes over the slice.
     "q_dedup_minhash_lsh" -> minhashLshOracleSql,
     "q_dedup_clusters" -> dedupClustersOracleSql,
+    "q_dedup_survivors" -> dedupSurvivorsOracleSql,
     "q_vocab_topk" ->
       """SELECT word, count(*) AS occurrences,
            count(DISTINCT doc_id) AS doc_freq

@@ -241,6 +241,19 @@ object DedupOps {
         (col("id") === col("label")).as("is_canonical"))
   }
 
+  /** End-to-end near-dup corpus dedup — the materialized form of
+    * nearDupClusters, i.e. what a training pipeline actually writes out:
+    * only each cluster's canonical (minimum-id) doc survives; singletons
+    * are their own cluster and always survive. Left-semi join keeps the
+    * full original row without reshaping. */
+  def dedupNearDups(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 2, k: Int = 8, bands: Int = 4,
+                    minJaccardPct: Int = 60): DataFrame = {
+    val canonical = nearDupClusters(df, idCol, textCol, n, k, bands, minJaccardPct)
+      .filter(col("is_canonical")).select(col("id").as(idCol))
+    df.join(canonical, Seq(idCol), "left_semi")
+  }
+
   /**
    * Exact n-gram Jaccard pairs within a blocking key (e.g. lang) — all
    * pairs reaching the threshold, found WITHOUT the quadratic in-block
