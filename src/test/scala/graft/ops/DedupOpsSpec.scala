@@ -44,6 +44,31 @@ class DedupOpsSpec extends SparkSuite {
     assert(pruned === brute)
   }
 
+  test("prefix+size filters lossless on seeded random corpora (tiny vocab, all thresholds)") {
+    // a 5-word vocab makes shingles collide constantly — the stress case
+    // for prefix pruning: duplicate shingles, identical docs, near-misses
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    for (seed <- 1 to 2; t <- Seq(40, 60, 100)) {
+      val rnd = new scala.util.Random(seed * 31 + t)
+      val docs = (0 until 30).map { i =>
+        (i.toLong,
+          Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+          s"b${i % 2}")
+      }.toDF("doc_id", "text", "blk")
+      val sh = docs.select(col("blk"), col("doc_id").as("id"),
+        graft.functions.GraftFunctions.shingle_hashes(col("text"), 2).as("sh"))
+      val brute = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+        .join(sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b")), Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))) * 100 >=
+                size(array_union(col("sh_a"), col("sh_b"))) * t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val pruned = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", "blk", 2, t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pruned === brute, s"seed=$seed threshold=$t")
+    }
+  }
+
   test("minhash LSH finds all exact duplicates (J=100 pairs always collide)") {
     val dup = docs.limit(20)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
