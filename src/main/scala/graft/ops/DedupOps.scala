@@ -194,7 +194,20 @@ object DedupOps {
    * algorithms).
    */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          driverEdgeThreshold: Long = 2000000L): DataFrame = {
+    // HYBRID, the GraphFrames pattern: near-dup pair sets are tiny relative
+    // to the corpus (they ARE the duplicates — a pair set anywhere near
+    // corpus size means the dedup upstream already collapsed it), so below
+    // the threshold a driver union-find labels the touched nodes in one
+    // collect; untouched nodes label themselves via a left join. Each
+    // distributed round costs 3 jobs over the cluster; the union-find is
+    // microseconds. Above the threshold (or non-long ids), the distributed
+    // O(log diameter) pointer-jumping loop below takes over unchanged.
+    val longIds = pairs.schema("id_a").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (longIds && pairs.count() <= driverEdgeThreshold)
+      return ccDriver(pairs, nodes)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
@@ -226,6 +239,41 @@ object DedupOps {
       iter += 1
     }
     labels
+  }
+
+  /** Driver union-find (path compression) over a collected small pair set;
+    * min member id per component becomes every member's label. */
+  private def ccDriver(pairs: DataFrame, nodes: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x
+      while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(rb) = ra
+    }
+    val touched = parent.keys.toArray
+    val minOfRoot = scala.collection.mutable.HashMap[Long, Long]()
+    touched.foreach { m =>
+      val r = find(m)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), m)
+    }
+    val labels = touched.map(m => (m, minOfRoot(find(m)))).toSeq
+      .toDF("id", "label")
+    // defensive union of pair endpoints, same contract as the distributed
+    // path: an endpoint absent from `nodes` still gets labeled
+    nodes.select(col("id")).union(labels.select(col("id"))).distinct()
+      .join(broadcast(labels), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   /** End-to-end near-dup clustering: minhash LSH pairs → connected

@@ -16,6 +16,8 @@ object OpTime {
     def run(): Long = op match {
       case "ngram" =>
         DedupOps.ngramJaccardPairs(t("documents"), "doc_id", "text", "lang", 2, 55).count()
+      case "clusters" =>
+        DedupOps.nearDupClusters(t("documents"), "doc_id", "text").count()
       case "minhash" =>
         DedupOps.minhashNearDups(t("documents"), "doc_id", "text", 2, 8, 4, 60).count()
       case "lsh" =>

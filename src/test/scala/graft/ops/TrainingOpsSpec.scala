@@ -53,6 +53,28 @@ class TrainingOpsSpec extends SparkSuite {
     assert((1L to 6L).forall(got(_) === 1L), s"chain labels: $got")
     assert(got(20L) === 20L && got(21L) === 20L)
     assert(got(99L) === 99L, "isolated node keeps its own label")
+    // the distributed pointer-jumping path (forced past the driver
+    // union-find threshold) must agree exactly
+    val distributed = DedupOps.connectedComponents(pairs, nodes,
+        driverEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed === got)
+  }
+
+  test("connectedComponents: driver and distributed paths agree on a random graph") {
+    val rnd = new scala.util.Random(424242)
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("id_a", "id_b")
+    val nodes = (0L until 150L).toDF("id")
+    val viaDriver = DedupOps.connectedComponents(pairs, nodes)
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = DedupOps.connectedComponents(pairs, nodes, driverEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver === viaLoop)
+    // every label is the true min of its component: labels are idempotent
+    assert(viaDriver.forall { case (_, l) => viaDriver(l) === l })
   }
 
   test("quantizeInt8: codegen kernel ≡ HOF reference; range and zero-vector edges") {
