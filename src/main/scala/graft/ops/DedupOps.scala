@@ -312,21 +312,31 @@ object DedupOps {
    *    set's first |x| - ceil(t·|x|) + 1 elements — if all shared elements
    *    sat in A's suffix of ceil(t·|A|) - 1 slots, there'd be too few of
    *    them. So candidates come from a join keyed on (block, prefix
-   *    shingle): each doc explodes only its sorted-hash prefix (~(1-t) of
-   *    its shingles), and a candidate must collide there. Disjoint-set
-   *    pairs are never generated at all — at 100 TB the candidate count is
+   *    shingle): each doc explodes only its prefix (~(1-t) of its
+   *    shingles), and a candidate must collide there. Disjoint-set pairs
+   *    are never generated at all — at 100 TB the candidate count is
    *    driven by actual similarity, not block size².
+   *  - The global order is DOCUMENT FREQUENCY ascending (ties by hash) —
+   *    the PPJoin ordering. Any consistent order is lossless, but ordering
+   *    by raw hash would put a globally-common shingle ("of the") into
+   *    MOST prefixes whenever its one global hash happens to be small — a
+   *    hot join key that goes quadratic in that shingle's frequency. With
+   *    df-ascending order, frequent shingles sort last and rarely enter a
+   *    prefix, so per-token fan-out is bounded by construction. Costs one
+   *    token-level count + re-group per call (the documented PPJoin
+   *    two-pass); the candidate shrinkage usually pays it back.
    *  - SIZE FILTER: J(A,B) ≥ t forces min(|A|,|B|)·100 ≥ t·max(|A|,|B|)
    *    (|A∩B| ≤ min, |A∪B| ≥ max), applied inside the candidate join.
    *
-   * Both prunes only drop pairs that CANNOT reach the threshold, so the
+   * All prunes only drop pairs that CANNOT reach the threshold, so the
    * result is bit-identical to the all-pairs formulation (DedupOpsSpec
-   * asserts equality; the DuckDB oracle computes all-pairs independently).
-   * The candidate exchange carries (blk, token, id, size) — scalars only;
-   * shingle arrays join back once per surviving pair, as everywhere else.
-   * Zero-shingle docs (< n words) have no prefix to collide on but pair
-   * with each other at J = 0/0 (union empty ⇒ the ≥ filter passes, the
-   * all-pairs semantics the oracle pins), handled by a tiny side branch.
+   * asserts equality incl. a seeded tiny-vocab stress; the DuckDB oracle
+   * computes all-pairs independently). The candidate exchange carries
+   * (blk, token, id, size) — scalars only; shingle arrays join back once
+   * per surviving pair, as everywhere else. Zero-shingle docs (< n words)
+   * have no prefix to collide on but pair with each other at J = 0/0
+   * (union empty ⇒ the ≥ filter passes, the all-pairs semantics the
+   * oracle pins), handled by a tiny side branch.
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, minJaccardPct: Int): DataFrame = {
@@ -335,13 +345,23 @@ object DedupOps {
       "(at 0 every pair qualifies vacuously — that's a cross join, not a similarity join)")
     val src = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(textCol).as("text"))
     val sized = src.select(col("blk"), col("id"),
-        array_sort(graft.functions.GraftFunctions.shingle_hashes(col("text"), n)).as("sh"))
+        graft.functions.GraftFunctions.shingle_hashes(col("text"), n).as("sh"))
       .withColumn("ns", size(col("sh")))
+    // df-ascending re-order: explode to (id, tok) scalars, count df per
+    // token, re-group each doc's shingles sorted by (df, tok)
+    val exploded = sized.select(col("blk"), col("id"), col("ns"),
+      explode(col("sh")).as("tok"))
+    val dfTable = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ordered = exploded.join(dfTable, Seq("tok"))
+      .groupBy("blk", "id", "ns")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("blk"), col("id"), col("ns"),
+        transform(col("st"), s => s.getField("tok")).as("shp"))
     // prefix length |x| - ceil(t·|x|) + 1 (ints: ceil(p·ns/100) = (p·ns+99) div 100)
     val ceilT = floor((col("ns") * minJaccardPct + 99) / lit(100.0)).cast("int")
-    val pref = sized
+    val pref = ordered
       .select(col("blk"), col("id"), col("ns"),
-        explode(slice(col("sh"), lit(1), greatest(col("ns") - ceilT + 1, lit(0)))).as("tok"))
+        explode(slice(col("shp"), lit(1), greatest(col("ns") - ceilT + 1, lit(0)))).as("tok"))
     val a = pref.select(col("blk"), col("tok"), col("id").as("id_a"), col("ns").as("ns_a"))
     val b = pref.select(col("blk"), col("tok"), col("id").as("id_b"), col("ns").as("ns_b"))
     val candidates = a.join(b, Seq("blk", "tok"))
