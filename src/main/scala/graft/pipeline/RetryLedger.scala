@@ -11,13 +11,13 @@ import org.apache.spark.sql.functions._
  * run-stat metrics from the poison-row quarantine (JsonIngest handles that
  * half — a payload that can never parse is not retried, it is quarantined).
  *
- * The retry loop is expressed as `maxAttempts` filter rounds over a
- * shrinking pending set: round `a` keeps the rows whose (deterministic or
- * external) failure predicate clears at attempt `a`, the remainder carries
- * to round `a+1`, and whatever survives every round is ledgered as an
- * error. Each round is a narrow filter — no shuffle, no driver collect —
- * and the final ledger is a bag union, so at 100 TB the whole construct
- * costs one pass per attempt over an exponentially-shrinking set.
+ * Because the failure predicate is a pure Column function (per-row,
+ * per-attempt), the whole retry loop folds into ONE projection: a row's
+ * ledger entry is the first attempt that clears, else give-up at
+ * `maxAttempts`. A loop of per-round filters would re-scan the source once
+ * per attempt (each union branch reads from the top — the "shrinking
+ * pending set" shrinks logically, not in scans); the single-pass form costs
+ * exactly one scan at any corpus size and stays inside whole-stage codegen.
  *
  * The failure predicate is injected: tests and the harness query use the
  * portable affine family ([[affineFailure]], reproducible in any engine);
@@ -32,20 +32,15 @@ object RetryLedger {
   def run(df: DataFrame, idCol: String, maxAttempts: Int)
          (failsOnAttempt: (Column, Int) => Column): DataFrame = {
     require(maxAttempts >= 1)
-    var pending = df
-    var ledger: DataFrame = null
-    for (a <- 1 to maxAttempts) {
-      val fails = failsOnAttempt(col(idCol), a)
-      val ok = pending.filter(!fails)
-        .withColumn("attempts", lit(a))
-        .withColumn("status", lit("ok"))
-      ledger = if (ledger == null) ok else ledger.unionByName(ok)
-      pending = pending.filter(fails)
+    val fails = (1 to maxAttempts).map(a => failsOnAttempt(col(idCol), a))
+    // first attempt that clears; rows failing every attempt bottom out at
+    // maxAttempts (tries consumed by the give-up)
+    val attempts = (1 until maxAttempts).foldRight(lit(maxAttempts)) {
+      case (a, acc) => when(!fails(a - 1), lit(a)).otherwise(acc)
     }
-    val errors = pending
-      .withColumn("attempts", lit(maxAttempts))
-      .withColumn("status", lit("error"))
-    ledger.unionByName(errors)
+    val anyOk = fails.map(f => !f).reduce(_ || _)
+    df.withColumn("attempts", attempts)
+      .withColumn("status", when(anyOk, lit("ok")).otherwise(lit("error")))
   }
 
   /** Run-stat accounting over a ledger (reference collector.rs metric

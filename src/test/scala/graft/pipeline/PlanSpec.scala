@@ -127,6 +127,12 @@ class PlanSpec extends SparkSuite {
     // the signature branch must not re-read the embedding column
     assert(!sigExchanges.exists(_.child.toString.contains("qv")),
       "signature branch must not carry vectors")
+    // and the rank-window exchange ships (ids, sim) scalars — the fetched
+    // vectors must be pruned before the sort
+    val windowExchanges = exchangesCarrying(
+      graft.ops.SimilarityOps.lshTopK(emb, "vec_id", "embedding",
+        k = 1, bits = 6, tables = 4), "sim")
+    assertArrayFree(windowExchanges, "rank-window")
   }
 
   test("embeddingNearDups bucket exchange carries no embedding arrays") {
