@@ -96,7 +96,7 @@ object Bench {
     // ANN index parameters scale with corpus size: LSH bits target ~32
     // vectors per bucket; IVF centroids ~sqrt(n) (standard sizing rules)
     val nEmb = t("embeddings").count()
-    val lshBits = math.max(4, (math.log(nEmb / 32.0) / math.log(2)).ceil.toInt)
+    val lshBits = SimilarityOps.occupancyBits(nEmb)
     val ivfCentroids = math.max(16, math.sqrt(nEmb.toDouble).ceil.toInt)
     queries("ann_lsh_top1") = time2 {
       SimilarityOps.lshTopK(t("embeddings"), "vec_id", "embedding", 1, lshBits, 8).count()

@@ -117,4 +117,33 @@ class TransportSpec extends SparkSuite {
       assert(gotTypes === wantTypes)
     } finally server.stop(0)
   }
+
+  test("OMS POST: a non-2xx endpoint fails the job (bounded task retry, not silent loss)") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/logs", new com.sun.net.httpserver.HttpHandler {
+      def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        ex.sendResponseHeaders(503, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/api/logs"
+      val e = intercept[org.apache.spark.SparkException] {
+        Transport.sendOms(routed, endpoint, "ws", java.util.Base64.getEncoder
+          .encodeToString("k".getBytes), maxBatch = 50)
+      }
+      assert(e.getMessage.contains("503") ||
+        Option(e.getCause).exists(_.getMessage.contains("503")))
+    } finally server.stop(0)
+  }
+
+  test("Graylog TCP: an unreachable endpoint fails the job loudly") {
+    val dead = new java.net.ServerSocket(0)
+    val port = dead.getLocalPort
+    dead.close() // nothing listens here anymore
+    intercept[org.apache.spark.SparkException] {
+      Transport.sendGraylogTcp(routed, "127.0.0.1", port)
+    }
+  }
 }
