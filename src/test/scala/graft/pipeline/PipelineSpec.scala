@@ -42,6 +42,26 @@ class PipelineSpec extends SparkSuite {
     assert(stageSum("filtered") === stageSum("routed") + stageSum("quarantined"))
   }
 
+  test("targetRowsPerFile sizes record-sink outputs (small-files bound)") {
+    val out = tmpDir("pipe_sized")
+    val res = Pipeline.run(spark, DataGen.sequences(spark, 5000L, 8), out,
+      Pipeline.Config(targetRowsPerFile = 500L))
+    val routed = res.stats.rowsRouted
+    val wantParts = ((routed + 499) / 500).toInt
+    def partFiles(dir: String) =
+      Option(new java.io.File(s"$out/$dir").listFiles()).getOrElse(Array.empty)
+        .count(f => f.getName.startsWith("part-"))
+    // plain record sinks: exactly ceil(routed / target) files
+    assert(partFiles("graylog") === wantParts, s"graylog: ${partFiles("graylog")}")
+    assert(partFiles("fluentd") === wantParts)
+    // tiny operational aggregates collapse to one file
+    assert(partFiles("prtg") === 1)
+    assert(partFiles("checksums") === 1)
+    assert(partFiles("metrics") === 1)
+    // and the data is intact
+    assert(spark.read.parquet(s"$out/graylog").count() === routed)
+  }
+
   test("token arrays survive end to end (north-rule invariant) incl. CSV round-trip") {
     val out = tmpDir("pipe_tok")
     val seqs = DataGen.sequences(spark, 2000L, 4)
