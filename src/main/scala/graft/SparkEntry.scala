@@ -761,11 +761,17 @@ object SparkEntry {
                          THEN CAST(json_extract(payload, '$.k') AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS sum_k
          FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+    // row_number, NOT per-column min(): exactDedup keeps the whole first
+    // ROW per key — min(doc_id) + min(lang) computed independently would
+    // stitch together values from different rows whenever duplicate texts
+    // span languages (caught by an sf0.1 sweep; sf0.01 has no such pair)
     "q_dedup_exact" ->
-      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, min(lang) AS lang FROM (
-           SELECT doc_id, text, lang FROM documents
-           UNION ALL SELECT doc_id + 10000, text, lang FROM documents
-         ) GROUP BY text ORDER BY doc_id""",
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM (SELECT doc_id, text, lang FROM documents
+                 UNION ALL SELECT doc_id + 10000, text, lang FROM documents)
+         ) WHERE rn = 1 ORDER BY doc_id""",
     "q_text_stats" ->
       """WITH w AS (SELECT doc_id, text,
              string_split_regex(trim(text), '\s+') AS ws FROM documents)
