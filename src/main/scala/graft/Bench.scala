@@ -217,7 +217,9 @@ object Bench {
     // go into the JSON verbatim alongside the min-based estimate.
     var tLo = Double.MaxValue
     var tHi = Double.MaxValue
-    val nPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "5").toInt
+    // clamp ≥ 1: zero pairs would leave tLo/tHi at MaxValue → NaN
+    // efficiencies (invalid JSON) and an empty-median crash
+    val nPairs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "5").toInt)
     val pairEffs = scala.collection.mutable.ArrayBuffer[Double]()
     for (_ <- 1 to nPairs) {
       val sLo = session(lo)

@@ -195,7 +195,7 @@ object DedupOps {
    */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
                           maxIter: Int = 20,
-                          driverEdgeThreshold: Long = 2000000L): DataFrame = {
+                          driverEdgeThreshold: Long = 500000L): DataFrame = {
     // HYBRID, the GraphFrames pattern: near-dup pair sets are tiny relative
     // to the corpus (they ARE the duplicates — a pair set anywhere near
     // corpus size means the dedup upstream already collapsed it), so below
@@ -204,10 +204,24 @@ object DedupOps {
     // distributed round costs 3 jobs over the cluster; the union-find is
     // microseconds. Above the threshold (or non-long ids), the distributed
     // O(log diameter) pointer-jumping loop below takes over unchanged.
-    val longIds = pairs.schema("id_a").dataType ==
-      org.apache.spark.sql.types.LongType
-    if (longIds && pairs.count() <= driverEdgeThreshold)
-      return ccDriver(pairs, nodes)
+    //
+    // `pairs` is often an expensive lazy lineage (the whole minhash LSH
+    // pipeline) — persist it around the gate so the threshold count and the
+    // branch's own evaluation pay for it ONCE; both branches fully
+    // materialize their derivations (collect / eager localCheckpoints)
+    // before the unpersist.
+    val pairsP = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val longIds = pairs.schema("id_a").dataType ==
+        org.apache.spark.sql.types.LongType
+      if (longIds && pairsP.count() <= driverEdgeThreshold)
+        ccDriver(pairsP, nodes)
+      else ccDistributed(pairsP, nodes, maxIter)
+    } finally { pairsP.unpersist(); () }
+  }
+
+  private def ccDistributed(pairs: DataFrame, nodes: DataFrame,
+                            maxIter: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
@@ -267,7 +281,12 @@ object DedupOps {
       val r = find(m)
       minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), m)
     }
-    val labels = touched.map(m => (m, minOfRoot(find(m)))).toSeq
+    // RDD-backed, NOT a LocalRelation: toDF on a big Seq embeds every row
+    // in the logical plan (slow driver-side encoding, bloated broadcast
+    // payload); parallelize keeps the plan a reference to distributed data
+    val labels = spark.createDataset(spark.sparkContext.parallelize(
+        touched.map(m => (m, minOfRoot(find(m)))).toSeq,
+        math.max(1, touched.length / 500000 + 1)))
       .toDF("id", "label")
     // defensive union of pair endpoints, same contract as the distributed
     // path: an endpoint absent from `nodes` still gets labeled
@@ -333,10 +352,10 @@ object DedupOps {
    * asserts equality incl. a seeded tiny-vocab stress; the DuckDB oracle
    * computes all-pairs independently). The candidate exchange carries
    * (blk, token, id, size) — scalars only; shingle arrays join back once
-   * per surviving pair, as everywhere else. Zero-shingle docs (< n words)
-   * have no prefix to collide on but pair with each other at J = 0/0
-   * (union empty ⇒ the ≥ filter passes, the all-pairs semantics the
-   * oracle pins), handled by a tiny side branch.
+   * per surviving pair, as everywhere else. Every doc has a non-empty
+   * prefix: shingleHashes emits at least one shingle for ANY text (short
+   * texts get one padded shingle — Hashing.shingleHashes count =
+   * max(words-n+1, 1)), so no doc can vanish from candidacy.
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, minJaccardPct: Int): DataFrame = {
@@ -370,12 +389,8 @@ object DedupOps {
               greatest(col("ns_a"), col("ns_b")) * minJaccardPct)
       .select("blk", "id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val emptyKeys = sized.filter(col("ns") === 0).select(col("blk"), col("id"))
-    val emptyPairs = emptyKeys.select(col("blk"), col("id").as("id_a"))
-      .join(emptyKeys.select(col("blk"), col("id").as("id_b")), Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
     val sh = sized.select(col("id"), col("sh"))
-    candidates.unionByName(emptyPairs)
+    candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .transform(verifyJaccard(minJaccardPct))

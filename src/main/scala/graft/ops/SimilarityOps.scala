@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
  */
 object SimilarityOps {
 
+  /** Driver-side float extraction for collected vector rows — the vector
+    * column may be array<float> OR array<double> (both are accepted by
+    * every kernel here); getSeq[Float] on a double array would CCE. */
+  private def vecFloats(r: org.apache.spark.sql.Row, i: Int): Array[Float] =
+    r.getSeq[Any](i).iterator.map {
+      case f: Float  => f
+      case d: Double => d.toFloat
+      case x         => x.asInstanceOf[Number].floatValue
+    }.toArray
+
   /** HOF formulations — the semantic reference (FunctionsSpec pins the
     * codegen expressions to these bit-for-bit). */
   def dot(a: Column, b: Column): Column =
@@ -159,7 +169,7 @@ object SimilarityOps {
     var centArr: Array[(Long, Array[Float])] = train
       .orderBy(pmod(xxhash64(col("id"), lit(31)), lit(mod)), col("id"))
       .limit(k).select(col("id"), col("v")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .map(r => (r.getLong(0), vecFloats(r, 1)))
     for (_ <- 1 to iters if centArr.nonEmpty) {
       val means = train.select(
           // get() (null out-of-bounds) not element_at: a zero-norm vector
@@ -219,9 +229,15 @@ object SimilarityOps {
                     nHome: Int = 2, persist: Boolean = true): IvfIndex = {
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val centArr = kmeansCentroids(vecs, nCentroids, kmeansIters).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .map(r => (r.getLong(0), vecFloats(r, 1)))
       .sortBy(_._1)
-    val homed0 = vecs.select(
+    // an empty corpus yields zero centroids — the index is simply empty,
+    // never a construction-time crash
+    val homed0 =
+      if (centArr.isEmpty)
+        vecs.filter(lit(false))
+          .select(lit(0L).as("cid"), col("id").as("neighbor_id"), col("v").as("cv2"))
+      else vecs.select(
         explode(graft.functions.GraftFunctions.nearest_centroids(
           col("v"), centArr.toSeq, nHome)).as("cid"),
         col("id").as("neighbor_id"), col("v").as("cv2"))
@@ -238,6 +254,9 @@ object SimilarityOps {
    */
   def ivfProbe(index: IvfIndex, queries: DataFrame, idCol: String,
                vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    if (index.centroids.isEmpty)
+      return queries.filter(lit(false)).select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(1).as("rank"))
     val probes = queries.select(
       explode(graft.functions.GraftFunctions.nearest_centroids(
         col(vecCol), index.centroids.toSeq, nProbe)).as("cid"),

@@ -131,11 +131,21 @@ object Pipeline {
       val routedCount = if (cfg.persistRouted) cached.count() else -1L
       // Output-file sizing for the record sinks (see targetRowsPerFile):
       // never expands parallelism, only merges under-filled partitions.
-      val outParts =
-        if (routedCount >= 0 && cfg.targetRowsPerFile > 0)
-          math.max(1L, (routedCount + cfg.targetRowsPerFile - 1) / cfg.targetRowsPerFile).toInt
+      def partsFor(n: Long): Int =
+        if (n >= 0 && cfg.targetRowsPerFile > 0)
+          math.max(1L, (n + cfg.targetRowsPerFile - 1) / cfg.targetRowsPerFile).toInt
         else 0
-      def sized(df: DataFrame) = if (outParts > 0) df.coalesce(outParts) else df
+      def sizedBy(df: DataFrame, n: Long): DataFrame = {
+        val p = partsFor(n)
+        if (p > 0) df.coalesce(p) else df
+      }
+      def sized(df: DataFrame) = sizedBy(df, routedCount)
+      // quarantine sized from ITS OWN count (usually ≈0; sizing it from the
+      // routed count writes near-empty files when rules are lax and
+      // oversized ones when they are strict) — a cache-served count
+      val quarantineSized =
+        if (cfg.persistRouted) sizedBy(quarantine, quarantine.count())
+        else quarantine
 
       // Fan out the sink writes as CONCURRENT jobs — the reference's
       // interfaces all consume the same batch in parallel
@@ -178,18 +188,18 @@ object Pipeline {
             else CsvSink.writeUnified(salted, s"$outDir/${f.path}", f.separator)
           }.toSeq ++
           out.graylog.filter(_.enabled).map(_ => () =>
-            Sinks.write(Sinks.graylogShape(cached), s"$outDir/graylog")) ++
+            Sinks.write(Sinks.graylogShape(sized(cached)), s"$outDir/graylog")) ++
           out.fluentd.filter(_.enabled).map(f => () =>
-            Sinks.write(Sinks.fluentdShape(cached, f.tenantName), s"$outDir/fluentd")) ++
+            Sinks.write(Sinks.fluentdShape(sized(cached), f.tenantName), s"$outDir/fluentd")) ++
           out.azureLogAnalytics.filter(_.enabled).map(_ => () =>
-            Sinks.write(Sinks.logAnalyticsShape(cached), s"$outDir/log_analytics", Seq("log_type")))
+            Sinks.write(Sinks.logAnalyticsShape(sized(cached)), s"$outDir/log_analytics", Seq("log_type")))
       }
       // operational outputs: the aggregates are a handful of rows — one
       // file each, not one per shuffle partition
       val writes = recordSinks ++ Seq(
         () => Sinks.write(Sinks.prtgShape(cached).coalesce(1), s"$outDir/prtg"),
         () => Sinks.write(Sinks.routedChecksum(cached).coalesce(1), s"$outDir/checksums"),
-        () => Sinks.write(sized(quarantine), s"$outDir/quarantine"),
+        () => Sinks.write(quarantineSized, s"$outDir/quarantine"),
         () => Sinks.write(partMetrics.coalesce(1), s"$outDir/metrics"))
       Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
 

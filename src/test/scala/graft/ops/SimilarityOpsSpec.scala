@@ -122,6 +122,20 @@ class SimilarityOpsSpec extends SparkSuite {
     } finally index.unpersist()
   }
 
+  test("IVF handles array<double> vectors and empty corpora gracefully") {
+    // double vectors: every kernel accepts them; the driver-side centroid
+    // collect must not CCE on boxed Doubles
+    val dbl = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val got = SimilarityOps.ivfTopK(dbl, "vec_id", "embedding",
+      k = 1, nCentroids = 8, nProbe = 4)
+    assert(got.count() > 0)
+    // empty corpus: zero centroids → empty index → empty probe, no crash
+    val empty = emb.filter(lit(false))
+    assert(SimilarityOps.ivfTopK(empty, "vec_id", "embedding",
+      k = 1, nCentroids = 8, nProbe = 4).count() === 0)
+  }
+
   test("occupancyBits keeps the quadratic bucket-local join bounded as n grows") {
     // expected uniform occupancy n / 2^bits never exceeds the target …
     for (n <- Seq(100L, 1000L, 10000L, 1000000L, 100000000L)) {
