@@ -170,11 +170,15 @@ object Hashing {
     * predicate pushdown inlines them into the filter condition (short-
     * circuit evaluation forbids subexpression hoisting there), so each
     * occurrence must be nanoseconds: measured 3.5x end-to-end pipeline
-    * speedup over the substring formulation. Like the substring-cast
-    * formulation, any id with digits from byte 5 onward parses as valid
-    * (the prefix is not inspected); an id with NO digit there returns -1,
-    * which AuditFieldExpr/AuditTsExpr turn into NULL (malformed rows are
-    * quarantined by routing filters, never silently assigned buckets). */
+    * speedup over the substring formulation. EXACTLY the substring-cast
+    * semantics: the id region is bytes 4..15 (capped by the string's
+    * length); if every byte there is a digit the number parses (the prefix
+    * is not inspected — 'usr-0042' is id 42, as substring would give); any
+    * non-digit inside the region, or an empty region, returns -1, which
+    * AuditFieldExpr/AuditTsExpr turn into NULL (malformed rows are routed
+    * to quarantine, never silently assigned buckets — a
+    * stop-at-first-non-digit parse would have binned 'doc-7garbage123' as
+    * id 7). */
   def docIdNum(s: UTF8String): Long = {
     val n = math.min(s.numBytes(), 16)
     var i = 4
@@ -182,8 +186,8 @@ object Hashing {
     var any = false
     while (i < n) {
       val b = s.getByte(i)
-      if (b >= '0' && b <= '9') { acc = acc * 10 + (b - '0'); any = true; i += 1 }
-      else i = n
+      if (b < '0' || b > '9') return -1L // non-digit inside the id region
+      acc = acc * 10 + (b - '0'); any = true; i += 1
     }
     if (any) acc else -1L
   }
@@ -204,35 +208,30 @@ object Hashing {
     ((id % P) * a + b) % P
   }
 
-  // Each kernel has a long overload taking the pre-parsed doc index: the
-  // codegen'd AuditFieldExpr parses the id ONCE, null-gates on -1 (malformed
-  // ids surface as NULL → quarantined by any routing filter, never silently
-  // binned — see docIdNum), then makes one static call.
+  // Kernels take the PRE-PARSED doc index: the codegen'd AuditFieldExpr
+  // parses the id once, null-gates on -1 (malformed ids surface as NULL →
+  // quarantined, never silently binned — see docIdNum), then makes one
+  // static call. There are deliberately no UTF8String overloads: a caller
+  // that skipped the null gate would silently bin malformed ids.
 
   /** Content-type bucket 0..4 (50/20/15/10/5% skew) of a doc index. */
   def auditCtN(id: Long): Int = {
     val h = affMix(id, 1) % 100
     if (h < 50) 0 else if (h < 70) 1 else if (h < 85) 2 else if (h < 95) 3 else 4
   }
-  def auditCt(docId: UTF8String): Int = auditCtN(docIdNum(docId))
 
   /** Workload index 0..5. */
   def auditWlN(id: Long): Int = (affMix(id, 2) % 6).toInt
-  def auditWl(docId: UTF8String): Int = auditWlN(docIdNum(docId))
 
   /** Operation index 0..11. */
   def auditOpN(id: Long): Int = (affMix(id, 3) % 12).toInt
-  def auditOp(docId: UTF8String): Int = auditOpN(docIdNum(docId))
 
   /** Record type 0..63. */
   def auditRtN(id: Long): Int = (affMix(id, 4) % 64).toInt
-  def auditRt(docId: UTF8String): Int = auditRtN(docIdNum(docId))
 
   /** CreationTime epoch seconds (BaseEpoch + mix_5 mod span). */
   def auditTsN(id: Long, baseEpoch: Long, spanSeconds: Long): Long =
     baseEpoch + affMix(id, 5) % spanSeconds
-  def auditTs(docId: UTF8String, baseEpoch: Long, spanSeconds: Long): Long =
-    auditTsN(docIdNum(docId), baseEpoch, spanSeconds)
 
   /** Policy: 0 = absent, 1 = Spoof, 2 = Phish (present only on bucket 0,
     * ~90% of its rows — mix_6 gate, mix_7 value). */
@@ -242,7 +241,6 @@ object Hashing {
     else if (affMix(id, 7) % 4 == 0) 1
     else 2
   }
-  def auditPolicy(docId: UTF8String): Int = auditPolicyN(docIdNum(docId))
 
   /** Packed intersection/union counts of two DISTINCT long arrays:
     * (|a ∩ b| << 32) | |a ∪ b|. One hash-set build over the smaller array +
@@ -444,7 +442,14 @@ object Hashing {
           case 'i' => sb.append(row.getInt(i))
           case 'l' => sb.append(row.getLong(i))
           case 'b' => sb.append(row.getBoolean(i))
-          case 'd' => sb.append(row.getDouble(i))
+          case 'd' =>
+            val d = row.getDouble(i)
+            // Jackson (to_json) quotes non-numeric numbers — a bare NaN
+            // would also be invalid RFC 8259 JSON
+            if (java.lang.Double.isNaN(d)) sb.append("\"NaN\"")
+            else if (d == Double.PositiveInfinity) sb.append("\"Infinity\"")
+            else if (d == Double.NegativeInfinity) sb.append("\"-Infinity\"")
+            else sb.append(d)
           case 'A' =>
             val a = row.getArray(i)
             val n = a.numElements()

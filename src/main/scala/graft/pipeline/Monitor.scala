@@ -36,14 +36,15 @@ object Monitor {
     * trailing `windowRows` events ordered by event time (the reference
     * appends (t, logs/sec) samples each second, :883-891). */
   def speedSeries(df: DataFrame, tsCol: String, windowRows: Int = 100): DataFrame = {
+    // frame = current row + the windowRows preceding it (windowRows+1 rows
+    // when fully warmed — a "trailing window of windowRows events" plus
+    // the row being stamped)
     val w = Window.partitionBy("content_type").orderBy(col(tsCol))
       .rowsBetween(-windowRows, 0)
     val ts = to_timestamp(col(tsCol), "yyyy-MM-dd'T'HH:mm:ss")
-    val tsW = Window.partitionBy("content_type").orderBy(col(tsCol))
-      .rowsBetween(-windowRows, 0)
     df.withColumn("window_rows", count(lit(1)).over(w))
       .withColumn("window_span_sec",
-        (ts.cast("long") - min(ts.cast("long")).over(tsW)))
+        (ts.cast("long") - min(ts.cast("long")).over(w)))
       .withColumn("rows_per_sec",
         when(col("window_span_sec") > 0,
           round(col("window_rows") / col("window_span_sec"), 2)))

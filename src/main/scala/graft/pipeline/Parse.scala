@@ -53,10 +53,20 @@ object Parse {
   private def af(docId: Column, kind: String): Column =
     graft.functions.GraftFunctions.audit_field(docId, kind)
 
+  /** element_at over a literal array, NULL-gated on the (nullable) audit
+    * field. The gate is not redundant: Spark's ElementAt reports
+    * nullable=false for a literal non-null-element array even when the
+    * INDEX is nullable, so `derived.isNull` constant-folds to false while
+    * the runtime value actually is null for malformed ids — which made
+    * NULL-field rows fail the routing filter as NULL instead of passing to
+    * quarantine. when() restores honest nullability metadata. */
+  private def pick(values: Seq[String], field: Column): Column =
+    when(field.isNotNull, element_at(typedLit(values), field + 1))
+
   /** Skewed content-type pick: 50/20/15/10/5 % — the 50% dominant type
     * (Audit.General) exercises the salted-repartition / AQE skew path. */
   def contentTypeCol(docId: Column): Column =
-    element_at(typedLit(Schemas.ContentTypes), af(docId, "Ct") + 1)
+    pick(Schemas.ContentTypes, af(docId, "Ct"))
 
   /** Column-arithmetic REFERENCE formulations of the derivations — what
     * the audit kernels must equal bit-for-bit (pinned in FunctionsSpec and
@@ -91,10 +101,8 @@ object Parse {
     val id = col("doc_id")
     df
       .withColumn("content_type", contentTypeCol(id))
-      .withColumn("workload",
-        element_at(typedLit(Schemas.Workloads), af(id, "Wl") + 1))
-      .withColumn("operation",
-        element_at(typedLit(Schemas.Operations), af(id, "Op") + 1))
+      .withColumn("workload", pick(Schemas.Workloads, af(id, "Wl")))
+      .withColumn("operation", pick(Schemas.Operations, af(id, "Op")))
       .withColumn("record_type", af(id, "Rt"))
       .withColumn("CreationTime",
         date_format(

@@ -216,7 +216,7 @@ object Pipeline {
       // committed snapshot) or served from the persisted filtered set —
       // no extra full passes (reference's RunStatistics, A1/A4).
       val rowsIn = sequences.count()
-      val rowsFresh = spark.read.parquet(s"${state.dir}/snapshot-$snap").count()
+      val rowsFresh = spark.read.parquet(state.snapshotPath(snap)).count()
       val rowsFiltered = filteredCached.count()
       val rowsRouted = cached.count()
       val stats = RunStats(

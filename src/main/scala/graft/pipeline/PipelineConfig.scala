@@ -126,14 +126,22 @@ object Yaml {
   }
 
   private def stripComment(line: String): String = {
-    // a '#' starts a comment unless inside quotes
+    // YAML comment rules, not naive char scanning: a quote OPENS a quoted
+    // scalar only at a value position (line start / after whitespace, ':',
+    // ',' or '['), so an apostrophe inside a plain scalar (path: don't.csv)
+    // is content, not a quote toggle; '#' starts a comment only at line
+    // start or after whitespace, and never inside a quoted scalar.
     var inS = false; var inD = false
+    var prev = ' '
     val sb = new StringBuilder
     for (c <- line) {
-      if (c == '\'' && !inD) inS = !inS
-      else if (c == '"' && !inS) inD = !inD
-      if (c == '#' && !inS && !inD) return sb.toString
-      sb.append(c)
+      val atValueStart = prev == ' ' || prev == '\t' || prev == ':' ||
+        prev == ',' || prev == '['
+      if (c == '\'' && !inD && (inS || atValueStart)) inS = !inS
+      else if (c == '"' && !inS && (inD || atValueStart)) inD = !inD
+      if (c == '#' && !inS && !inD &&
+          (sb.isEmpty || prev == ' ' || prev == '\t')) return sb.toString
+      sb.append(c); prev = c
     }
     sb.toString
   }

@@ -37,7 +37,9 @@ class StateStore(val dir: String) {
       Some(new String(Files.readAllBytes(currentPtr), StandardCharsets.UTF_8).trim.toInt)
     else None
 
-  private def snapshotPath(n: Int) = s"$dir/snapshot-$n"
+  // public: the snapshot-dir naming lives HERE only — callers (Pipeline's
+  // stats read) must not re-derive it
+  def snapshotPath(n: Int): String = s"$dir/snapshot-$n"
 
   /** Statically-empty relation (LocalRelation, not an RDD): Catalyst's
     * PropagateEmptyRelation then eliminates the dedup anti-join entirely on

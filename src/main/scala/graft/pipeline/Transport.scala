@@ -47,7 +47,10 @@ object Transport {
           Iterator(n)
         } finally sock.close()
       }
-    }.reduce(_ + _)
+      // rdd.fold, not Dataset.reduce: reduce throws on a ZERO-partition
+      // input (e.g. limit(0) collapsed to an empty LocalRelation) where
+      // the contract is "0 records sent"
+    }.rdd.fold(0L)(_ + _)
   }
 
   /**
@@ -91,7 +94,7 @@ object Transport {
         }
         buf.keys.foreach(flush)
         Iterator(sent)
-      }.reduce(_ + _)
+      }.rdd.fold(0L)(_ + _)
   }
 
   /** One signed POST (executor-side). Exposed for the header-level spec. */

@@ -68,7 +68,10 @@ object StreamingPipeline {
         val batchDir = java.nio.file.Paths.get(s"$outDir/routed/batch_id=$batchId")
         if (!java.nio.file.Files.exists(marker)) {
           val fresh =
-            if (cfg.skipKnownLogs) state.dedup(batch, state.load(spark, cfg.nowEpochSec))
+            if (cfg.skipKnownLogs)
+              state.dedup(batch, state.load(spark, cfg.nowEpochSec),
+                withinBatch = cfg.dedupWithinRun)
+            else if (cfg.dedupWithinRun) batch.dropDuplicates("doc_id")
             else batch
           val replayAfterStateCommit =
             java.nio.file.Files.exists(batchDir) && fresh.isEmpty
@@ -115,8 +118,15 @@ object StreamingPipeline {
    * the reference's look-back re-scan bound (src/config.rs:34-37).
    * Append-mode windowed aggregation; results land once a window closes.
    */
+  // Default watermark is 24h, NOT the reference's 168h look-back: the
+  // watermark is the LATENESS bound, and in append mode a window only
+  // emits once the watermark passes its end — a 168h watermark over data
+  // whose whole CreationTime span is 168h means no window ever closes and
+  // an AvailableNow drain writes nothing. Callers modeling the reference's
+  // full late-data horizon can still pass "168 hours" explicitly (and
+  // should then expect results only as the stream outlives the horizon).
   def windowedCounts(spark: SparkSession, inputDir: String, outDir: String,
-                     watermark: String = "168 hours"): Unit = {
+                     watermark: String = "24 hours"): Unit = {
     val parsed = Parse.deriveFields(
       spark.readStream.schema(Schemas.sequences).parquet(inputDir))
       .withColumn("event_time",

@@ -218,6 +218,15 @@ class FunctionsSpec extends SparkSuite {
       GraftFunctions.row_json(rec2).as("a"), to_json(rec2).as("b"))
       .filter(col("a") =!= col("b")).count()
     assert(diff2 === 0)
+    // non-numeric doubles: Jackson quotes NaN/Infinity; a bare NaN would be
+    // invalid JSON
+    val nums = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1.5, -0.0).toDF("x")
+    val rec3 = struct(col("x"))
+    val diff3 = nums.select(
+      GraftFunctions.row_json(rec3).as("a"), to_json(rec3).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff3 === 0)
   }
 
   test("custom expressions participate in whole-stage codegen") {

@@ -38,11 +38,13 @@ class KernelPropertySpec extends AnyFunSuite {
   }
 
   test("docIdNum ≡ naive byte-level digit parse for arbitrary strings") {
+    // substring(5,12).cast(long) semantics: ALL bytes in the id region must
+    // be digits or the parse is null (-1 here); partial digit prefixes like
+    // 'doc-7garbage' are malformed, not id 7
     def naive(s: String): Long = {
       val bytes = s.getBytes("UTF-8").take(16).drop(4)
-      val digits = bytes.takeWhile(b => b >= '0' && b <= '9')
-      if (digits.isEmpty) -1L
-      else digits.foldLeft(0L)((acc, b) => acc * 10 + (b - '0'))
+      if (bytes.isEmpty || bytes.exists(b => b < '0' || b > '9')) -1L
+      else bytes.foldLeft(0L)((acc, b) => acc * 10 + (b - '0'))
     }
     val genId = Gen.oneOf(
       Gen.chooseNum(0L, 999999999999L).map(n => f"doc-$n%012d"),

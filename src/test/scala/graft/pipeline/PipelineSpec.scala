@@ -42,6 +42,33 @@ class PipelineSpec extends SparkSuite {
     assert(stageSum("filtered") === stageSum("routed") + stageSum("quarantined"))
   }
 
+  test("malformed doc ids are quarantined end to end, never dropped or binned") {
+    val out = tmpDir("pipe_malformed")
+    val good = DataGen.sequences(spark, 200L, 2)
+    // digit-free suffix AND a digit-prefix-then-junk id: both must null-gate
+    // (the latter would parse as id 7 under stop-at-first-non-digit)
+    val bad = good.limit(1).withColumn("doc_id", lit("doc-7garbage1234"))
+      .unionByName(good.limit(1).withColumn("doc_id", lit("doc-nodigits-here")))
+    val res = Pipeline.run(spark, good.unionByName(bad), out)
+    assert(res.stats.rowsQuarantined === 2,
+      s"stats: ${res.stats}")
+    val quarantine = spark.read.parquet(s"$out/quarantine")
+    assert(quarantine.select("doc_id").as[String].collect().sorted ===
+      Array("doc-7garbage1234", "doc-nodigits-here"))
+    // quarantined rows have NULL audit fields (null-gated, not binned) …
+    assert(quarantine.filter(col("content_type").isNotNull).count() === 0)
+    // … and appear in NO record sink (fluentd nests the row under `record`;
+    // log_analytics carries it as a JSON body string)
+    def leaked(dir: String, idCol: org.apache.spark.sql.Column) =
+      spark.read.parquet(s"$out/$dir")
+        .filter(idCol.contains("doc-7garbage") || idCol.contains("doc-nodigits"))
+        .count()
+    assert(leaked("file_csv", col("doc_id")) === 0, "file_csv leaked")
+    assert(leaked("graylog", col("doc_id")) === 0, "graylog leaked")
+    assert(leaked("fluentd", col("record.doc_id")) === 0, "fluentd leaked")
+    assert(leaked("log_analytics", col("body")) === 0, "log_analytics leaked")
+  }
+
   test("targetRowsPerFile sizes record-sink outputs (small-files bound)") {
     val out = tmpDir("pipe_sized")
     val res = Pipeline.run(spark, DataGen.sequences(spark, 5000L, 8), out,
