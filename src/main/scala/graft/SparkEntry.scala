@@ -495,6 +495,21 @@ object SparkEntry {
         WHERE bit_count(xor(a.sim, b.sim)) <= 2
         ORDER BY id_a, id_b"""
 
+  /** DuckDB shingle-set expression over a words-list column `ws` —
+    * mirrors Hashing.shingleHashes INCLUDING the short-text padding: a doc
+    * with fewer than n=2 words still yields ONE (clipped) shingle
+    * (count = max(words-n+1, 1)), so the range runs to max(len-1, 1) and
+    * the final window truncates. Without this, `range(1, len(ws))` is
+    * EMPTY for one-word docs and every shingle-based oracle silently
+    * diverges from the engine on short texts. */
+  private def shingleSetSql(ws: String): String =
+    s"""list_distinct(list_transform(range(1, greatest(len($ws), 2)), i ->
+        list_reduce(list_prepend(0::BIGINT, list_transform(
+          string_split_regex(CASE WHEN CAST(i AS INT) + 1 <= len($ws)
+            THEN $ws[i] || ' ' || $ws[i+1] ELSE $ws[i] END, ''),
+          c -> ascii(c)::BIGINT)),
+          (acc, x) -> (acc * 31 + x) % 1000000007)))"""
+
   /** Shared DuckDB CTE prefix reproducing minhashNearDups(n=2, k=8,
     * bands=4, 60%): shingle poly-hashes → 8 affine minhashes
     * (A_i = 2654435761 mod P + 2i+1, B_i = 1013904223 + 7919i, i=0..7) →
@@ -512,10 +527,7 @@ object SparkEntry {
       s"(m${2 * bb} * 31 + m${2 * bb + 1}) % $P AS b$bb").mkString(", ")
     val anyBand = (0 until 4).map(bb => s"a.b$bb = b.b$bb").mkString(" OR ")
     s"""w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
-        s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i ->
-            list_reduce(list_prepend(0::BIGINT, list_transform(
-              string_split_regex(ws[i] || ' ' || ws[i+1], ''), c -> ascii(c)::BIGINT)),
-              (acc, x) -> (acc * 31 + x) % $P))) AS sh FROM w),
+        s AS (SELECT doc_id, ${shingleSetSql("ws")} AS sh FROM w),
         sig AS (SELECT doc_id, sh, $mins FROM s),
         banded AS (SELECT doc_id, sh, $bandCols FROM sig),
         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -808,11 +820,8 @@ object SparkEntry {
              (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
          FROM documents ORDER BY doc_id""",
     "q_minhash_signature" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
-         s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)), i ->
-             list_reduce(list_prepend(0::BIGINT, list_transform(
-               string_split_regex(ws[i] || ' ' || ws[i+1], ''), c -> ascii(c)::BIGINT)),
-               (acc, x) -> (acc * 31 + x) % 1000000007))) AS sh FROM w)
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+         s AS (SELECT doc_id, ${shingleSetSql("ws")} AS sh FROM w)
          SELECT doc_id,
            list_min(list_transform(sh, h -> (h * 654435748 + 1013904223) % 1000000007)) AS m0,
            list_min(list_transform(sh, h -> (h * 654435750 + 1013912142) % 1000000007)) AS m1
@@ -866,11 +875,8 @@ object SparkEntry {
            ("offset" + n_tok - 1) // 512 AS chunk_last
          FROM o ORDER BY doc_id""",
     "q_dedup_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws FROM documents),
-         s AS (SELECT doc_id, lang, list_distinct(list_transform(range(1, len(ws)), i ->
-             list_reduce(list_prepend(0::BIGINT, list_transform(
-               string_split_regex(ws[i] || ' ' || ws[i+1], ''), c -> ascii(c)::BIGINT)),
-               (acc, x) -> (acc * 31 + x) % 1000000007))) AS sh FROM w)
+      s"""WITH w AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+         s AS (SELECT doc_id, lang, ${shingleSetSql("ws")} AS sh FROM w)
          SELECT a.lang AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_size,
            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS union_size

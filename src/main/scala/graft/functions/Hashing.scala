@@ -475,6 +475,10 @@ object Hashing {
     * is d = 0..n-1, matching the HOF aggregate(zip_with(...)). */
   def lshSignature(v: ArrayData, isFloat: Boolean, bits: Int, offset: Int): Long = {
     val n = v.numElements()
+    // empty vector → signature 0 by definition (no signal, no bucket
+    // preference): zero-dot projections would otherwise satisfy >= 0 and
+    // set EVERY bit, diverging from the HOF reference formulation
+    if (n == 0) return 0L
     val proj = new Array[Double](bits)
     var i = 0
     while (i < bits) {

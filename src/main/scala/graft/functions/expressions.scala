@@ -324,6 +324,14 @@ case class IntArrayJsonExpr(child: Expression)
 case class RowJsonExpr(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = StringType
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case st: StructType if RowJsonExpr.supports(st) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"row_json: unsupported schema ${other.simpleString} (use to_json)")
+  }
   private lazy val fields = child.dataType.asInstanceOf[StructType].fields
   private lazy val names = fields.map(_.name).mkString(",")
   private lazy val kinds = fields.map(f => RowJsonExpr.kindOf(f.dataType)).mkString
@@ -350,8 +358,12 @@ object RowJsonExpr {
     case ArrayType(IntegerType, _) => 'A'
     case other => throw new IllegalArgumentException(s"unsupported: $other")
   }
+  // a ',' in a field name would desynchronize the comma-joined names string
+  // from the kinds/ordinals at eval time — such schemas take the to_json
+  // fallback instead
   def supports(schema: StructType): Boolean =
-    schema.fields.forall(f => scala.util.Try(kindOf(f.dataType)).isSuccess)
+    schema.fields.forall(f =>
+      !f.name.contains(',') && scala.util.Try(kindOf(f.dataType)).isSuccess)
 }
 
 /** Column-API surface for the custom expressions. */

@@ -151,6 +151,10 @@ object DedupOps {
     require(bits >= 8 && bits <= 64)
     require(maxHamming >= 0 && maxHamming + 1 <= bits / 4,
       s"maxHamming=$maxHamming too large for $bits-bit signatures: chunks would be <4 bits and prune nothing")
+    require(!portable || bits <= 30,
+      s"portable simhash signatures only populate bits [0, 30) (values < P < 2^30) — " +
+      s"bits=$bits would make every chunk above bit 30 constant 0, degenerating " +
+      "its band join into a full cross join")
     val chunks = maxHamming + 1
     val width = (bits + chunks - 1) / chunks // ceil; last chunk may be narrower
     // portable=true uses the affine/poly-hash signature DuckDB reproduces

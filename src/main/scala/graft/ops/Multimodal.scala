@@ -126,7 +126,12 @@ object Multimodal {
     }
     for {
       w <- token(); h <- token(); maxv <- token()
-      if maxv == 255 && w > 0 && h > 0 && i + 1 + w * h <= bytes.length
+      // LONG math for the bounds check: Int w*h overflows for plausible
+      // headers (65536x65536 wraps to 0 and "passes"), turning a malformed
+      // payload into a task-killing ArrayIndexOutOfBounds instead of the
+      // contracted ok=false poison row
+      if maxv == 255 && w > 0 && h > 0 &&
+        i.toLong + 1L + w.toLong * h.toLong <= bytes.length.toLong
     } yield (w, h, java.util.Arrays.copyOfRange(bytes, i + 1, i + 1 + w * h))
   }
 
@@ -145,10 +150,14 @@ object Multimodal {
     val sampleRate = buf.getInt(); buf.getInt(); buf.getShort()
     val bits = buf.getShort()
     if (audioFormat != 1 || channels != 1 || bits != 16) return None
+    // header fields are corruption-controlled: an oversized fmtLen would
+    // throw at position(), a negative dataLen at the array alloc — both
+    // must be ok=false poison rows, never task failures
+    if (fmtLen < 0 || 20L + fmtLen.toLong + 8L > bytes.length.toLong) return None
     buf.position(20 + fmtLen)
     val dataTag = new Array[Byte](4); buf.get(dataTag); val dataLen = buf.getInt()
     if (new String(dataTag, "US-ASCII") != "data" ||
-        buf.remaining() < dataLen) return None
+        dataLen < 0 || buf.remaining() < dataLen) return None
     val samples = new Array[Short](dataLen / 2)
     var i = 0
     while (i < samples.length) { samples(i) = buf.getShort(); i += 1 }

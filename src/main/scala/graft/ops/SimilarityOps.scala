@@ -32,6 +32,19 @@ object SimilarityOps {
       case x         => x.asInstanceOf[Number].floatValue
     }.toArray
 
+  /** Driver-side id extraction: any integral id column works (centroid ids
+    * derive from row ids); a clear error for non-integral ids beats a
+    * ClassCastException deep inside a k-means job. */
+  private def idLong(r: org.apache.spark.sql.Row, i: Int): Long = r.get(i) match {
+    case l: Long  => l
+    case n: Int   => n.toLong
+    case s: Short => s.toLong
+    case b: Byte  => b.toLong
+    case other => throw new IllegalArgumentException(
+      s"IVF requires an integral id column (centroid ids derive from it); got " +
+      s"${if (other == null) "null" else other.getClass.getSimpleName}")
+  }
+
   /** HOF formulations — the semantic reference (FunctionsSpec pins the
     * codegen expressions to these bit-for-bit). */
   def dot(a: Column, b: Column): Column =
@@ -76,7 +89,10 @@ object SimilarityOps {
 
   /** `bits`-bit hyperplane sign signature. The plane loop is small and
     * fixed, so it is unrolled at plan-build time into `bits` codegen'd
-    * projections (cleaner than a doubly-nested lambda aggregate). */
+    * projections (cleaner than a doubly-nested lambda aggregate).
+    * Empty vectors are pinned to signature 0 explicitly: sequence(0, -1)
+    * counts DOWN in Spark, so the unguarded zip_with would null-pad and
+    * diverge from the kernel (which also defines empty → 0). */
   def lshSignatureUnrolled(vec: Column, bits: Int): Column = {
     val bitCols = (0 until bits).map { i =>
       val proj = aggregate(
@@ -85,7 +101,7 @@ object SimilarityOps {
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), i)).otherwise(0L)
     }
-    bitCols.reduce(_ + _)
+    when(size(vec) === 0, lit(0L)).otherwise(bitCols.reduce(_ + _))
   }
 
   /** Signature for table `tbl` — each table draws a disjoint plane set
@@ -169,7 +185,7 @@ object SimilarityOps {
     var centArr: Array[(Long, Array[Float])] = train
       .orderBy(pmod(xxhash64(col("id"), lit(31)), lit(mod)), col("id"))
       .limit(k).select(col("id"), col("v")).collect()
-      .map(r => (r.getLong(0), vecFloats(r, 1)))
+      .map(r => (idLong(r, 0), vecFloats(r, 1)))
     for (_ <- 1 to iters if centArr.nonEmpty) {
       val means = train.select(
           // get() (null out-of-bounds) not element_at: a zero-norm vector
@@ -229,7 +245,7 @@ object SimilarityOps {
                     nHome: Int = 2, persist: Boolean = true): IvfIndex = {
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val centArr = kmeansCentroids(vecs, nCentroids, kmeansIters).collect()
-      .map(r => (r.getLong(0), vecFloats(r, 1)))
+      .map(r => (idLong(r, 0), vecFloats(r, 1)))
       .sortBy(_._1)
     // an empty corpus yields zero centroids — the index is simply empty,
     // never a construction-time crash
