@@ -131,7 +131,9 @@ class StateStore(val dir: String) {
    * shuffled hash/sort-merge anti-join on the id — no code change.
    */
   def dedup(incoming: DataFrame, known: DataFrame, idCol: String = "doc_id",
-            withinBatch: Boolean = false): DataFrame = {
+            withinBatch: Boolean = false,
+            bloomPruneThreshold: Long = 10000000L,
+            bloomFpp: Double = 0.01): DataFrame = {
     // withinBatch=true also collapses duplicate ids WITHIN the incoming
     // batch — the reference's sequential contains_key+insert drops repeats
     // inside a run too (src/collector.rs:161). Off by default: it costs an
@@ -139,9 +141,42 @@ class StateStore(val dir: String) {
     // file batches) carry unique ids. Turn it on for sources that can
     // repeat ids within one batch.
     val in = if (withinBatch) incoming.dropDuplicates(idCol) else incoming
-    in.join(
-      known.select(col("content_id").as(idCol)).distinct(),
-      Seq(idCol), "left_anti")
+    val knownIds = known.select(col("content_id").as(idCol)).distinct()
+    // BLOOM PRE-PRUNE for large states: once the state outgrows a
+    // broadcast, the anti-join becomes a sort-merge that shuffles the
+    // ENTIRE corpus — yet at steady state most rows are fresh and never
+    // match. A broadcast Bloom filter over the state ids lets definitely-
+    // fresh rows (no false negatives by construction) skip the join
+    // scan-side; only the maybe-known sliver (known fraction + fpp)
+    // shuffles. False positives just take the join path, so results are
+    // identical to the plain anti-join (StateStoreSpec pins equality).
+    // Costs one metadata-cheap count of the state and a second scan of
+    // `incoming` with complementary pushed filters — both trivia next to
+    // the corpus shuffle they remove.
+    val stateSize = if (bloomPruneThreshold >= 0) known.count() else -1L
+    if (bloomPruneThreshold >= 0 && stateSize > bloomPruneThreshold) {
+      val bloom = buildBloom(knownIds, idCol, stateSize, bloomFpp)
+      val might = graft.functions.GraftFunctions.bloom_might_contain(col(idCol), bloom)
+      in.filter(might).join(knownIds, Seq(idCol), "left_anti")
+        .unionByName(in.filter(!might))
+    } else {
+      in.join(knownIds, Seq(idCol), "left_anti")
+    }
+  }
+
+  /** Distributed Bloom build over the state ids: per-partition filters
+    * merged via treeAggregate. Ids are put as their UTF-8 bytes — the same
+    * contract BloomMightContainExpr probes with, so builder and probe can
+    * never drift. */
+  private def buildBloom(ids: DataFrame, idCol: String, expected: Long,
+                         fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("string")).as[String].rdd
+      .treeAggregate(BloomFilter.create(math.max(1L, expected), fpp))(
+        (f, s) => { f.putBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f },
+        (a, b) => { a.mergeInPlace(b); a })
   }
 
   /**

@@ -80,6 +80,49 @@ class StateStoreSpec extends SparkSuite {
     assert(loose.count() === 6)
   }
 
+  test("bloom-pruned dedup ≡ plain anti-join (prune is lossless by construction)") {
+    val st = new StateStore(tmpDir("st_bloom"))
+    val knownIds = (0 until 500).map(i => f"doc-$i%012d")
+    st.commit(spark, knownIds.toDF("doc_id"), "doc_id", future, now)
+    val incoming = (0 until 1000).map(i => f"doc-$i%012d").toDF("doc_id")
+    val known = st.load(spark, now)
+    val plain = st.dedup(incoming, known, bloomPruneThreshold = -1L)
+      .as[String].collect().toSet
+    // threshold 0 forces the bloom path at any state size
+    val pruned = st.dedup(incoming, known, bloomPruneThreshold = 0L)
+      .as[String].collect().toSet
+    assert(plain === (500 until 1000).map(i => f"doc-$i%012d").toSet)
+    assert(pruned === plain)
+    // and the pruned plan actually probes a bloom filter scan-side — use a
+    // parquet-backed incoming (a LocalRelation gets its deterministic
+    // filters constant-folded away at optimize time, hiding the probe)
+    val inDir = tmpDir("st_bloom_in")
+    incoming.write.mode("overwrite").parquet(inDir)
+    val plan = st.dedup(spark.read.parquet(inDir), known, bloomPruneThreshold = 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("bloommightcontain"), s"plan:\n$plan")
+  }
+
+  test("bloom_might_contain: zero false negatives over every inserted id") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(1000, 0.01)
+    (0 until 1000).foreach(i =>
+      bf.putBinary(f"doc-$i%012d".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val probes = (0 until 2000).map(i => f"doc-$i%012d").toDF("doc_id")
+    val hits = probes.filter(
+      graft.functions.GraftFunctions.bloom_might_contain(col("doc_id"), bf))
+      .as[String].collect().toSet
+    val inserted = (0 until 1000).map(i => f"doc-$i%012d").toSet
+    assert(inserted.subsetOf(hits), "a Bloom filter must never false-negative")
+    val fpRate = (hits -- inserted).size.toDouble / 1000
+    assert(fpRate < 0.05, s"false-positive rate $fpRate far above configured 1%")
+    // non-id types are rejected at analysis time
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1.5).toDF("x").select(
+        graft.functions.GraftFunctions.bloom_might_contain(col("x"), bf)).collect()
+    }
+  }
+
   test("merge: re-arrival updates expiration via last-writer-wins (MERGE upsert)") {
     val st = new StateStore(tmpDir("st"))
     st.commit(spark, Seq("a", "b").toDF("doc_id"), "doc_id",
