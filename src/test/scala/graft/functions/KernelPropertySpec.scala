@@ -38,9 +38,12 @@ class KernelPropertySpec extends AnyFunSuite {
   }
 
   test("docIdNum ≡ naive byte-level digit parse for arbitrary strings") {
-    // substring(5,12).cast(long) semantics: ALL bytes in the id region must
-    // be digits or the parse is null (-1 here); partial digit prefixes like
-    // 'doc-7garbage' are malformed, not id 7
+    // the kernel's contract is BYTE-level: the id region is UTF-8 bytes
+    // 4..15, all of which must be digits (partial digit prefixes like
+    // 'doc-7garbage' are malformed, not id 7). For pure-ASCII ids this
+    // coincides with substring(5,12).cast(long) — FunctionsSpec pins that
+    // on generated ids — but a multibyte prefix shifts CHAR positions vs
+    // byte positions, so the independent oracle here is byte-indexed too.
     def naive(s: String): Long = {
       val bytes = s.getBytes("UTF-8").take(16).drop(4)
       if (bytes.isEmpty || bytes.exists(b => b < '0' || b > '9')) -1L

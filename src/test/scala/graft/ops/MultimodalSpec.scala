@@ -56,12 +56,15 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("unparsable payloads become ok=false poison rows, never task failures") {
-    val poisoned = Multimodal.decode(media).filter(!col("ok"))
-    // syntheticMedia truncates ~2% of image/audio payloads
-    assert(poisoned.count() > 0)
-    assert(poisoned.filter(col("media_type") === "video").count() === 0)
-    // poison + decoded partition the input
-    assert(Multimodal.decode(media).count() === 300L)
+    val decoded = Multimodal.decode(media).toDF().cache()
+    try {
+      val poisoned = decoded.filter(!col("ok")).count()
+      // syntheticMedia truncates ~2% of image/audio payloads
+      assert(poisoned > 0)
+      assert(decoded.filter(!col("ok") && col("media_type") === "video").count() === 0)
+      // poison + decoded PARTITION the input: every row lands in exactly one
+      assert(poisoned + decoded.filter(col("ok")).count() === 300L)
+    } finally { decoded.unpersist(); () }
   }
 
   test("decode runs partition-parallel (mapPartitions, one pass)") {

@@ -8,6 +8,13 @@ class SimilarityOpsSpec extends SparkSuite {
 
   lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
 
+  /** Shared exact top-1 ground truth — the O(n²) all-pairs ranking is the
+    * slowest computation in this suite; compute it once. */
+  lazy val bruteTop1: Map[Long, Long] =
+    SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "embedding", 1)
+      .filter(col("rank") === 1).as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2)).toMap
+
   test("cosine basics: self=1, orthogonal=0") {
     val df = Seq(
       (Seq(1f, 0f, 2f), Seq(1f, 0f, 2f)),
@@ -45,9 +52,7 @@ class SimilarityOpsSpec extends SparkSuite {
   }
 
   test("lshTopK returns a subset of true neighbors' shape with decent recall") {
-    val brute = SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "embedding", 1)
-      .filter(col("rank") === 1).as[(Long, Long, Int)].collect()
-      .map(r => (r._1, r._2)).toMap
+    val brute = bruteTop1
     val ann = SimilarityOps.lshTopK(emb, "vec_id", "embedding", 1, bits = 4, tables = 8)
       .filter(col("rank") === 1).as[(Long, Long, Int)].collect()
       .map(r => (r._1, r._2)).toMap
@@ -60,9 +65,7 @@ class SimilarityOpsSpec extends SparkSuite {
   }
 
   test("ivfTopK: inverted-file probe recalls most true top-1 neighbors") {
-    val brute = SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "embedding", 1)
-      .filter(col("rank") === 1).as[(Long, Long, Int)].collect()
-      .map(r => (r._1, r._2)).toMap
+    val brute = bruteTop1
     val ivf = SimilarityOps.ivfTopK(emb, "vec_id", "embedding",
         k = 1, nCentroids = 16, nProbe = 4)
       .filter(col("rank") === 1).as[(Long, Long, Int)].collect()

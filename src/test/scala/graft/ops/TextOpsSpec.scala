@@ -24,6 +24,11 @@ class TextOpsSpec extends SparkSuite {
       .as[(Int, Int)].collect()
     assert(df(0) === ((3, 3)))
     assert(df(1)._1 === 2)
+    // empty string: split("") yields [""] in Spark (and in the DuckDB
+    // oracle's string_split_regex), so the whitespace token count is 1 —
+    // a documented quirk of the cheap length signal, pinned here so a
+    // well-meaning "fix" on one side doesn't silently diverge the oracle
+    assert(df(2)._1 === 1)
     assert(df(3)._1 === 1)      // no whitespace → 1 word
     assert(df(3)._2 === 7)      // a , b . c ! d
     assert(df(4) === ((1, 1)))

@@ -12,8 +12,10 @@ class TrainingOpsSpec extends SparkSuite {
     val rates = Map("en" -> 500, "de" -> 0)
     val s1 = TrainingOps.stratifiedSample(docs, "doc_id", "lang", rates)
     val s2 = TrainingOps.stratifiedSample(docs, "doc_id", "lang", rates)
-    // exact reproducibility (no RNG state)
-    assert(s1.select("doc_id").exceptAll(s2.select("doc_id")).isEmpty)
+    // exact reproducibility (no RNG state) — SYMMETRIC check: one-sided
+    // exceptAll cannot see a nondeterministic superset on the other side
+    assert(s1.select("doc_id").exceptAll(s2.select("doc_id")).isEmpty &&
+           s2.select("doc_id").exceptAll(s1.select("doc_id")).isEmpty)
     // rate 0 strata vanish; others keep roughly their per-mille
     assert(s1.filter(col("lang") === "de").count() === 0)
     val en = docs.filter(col("lang") === "en").count()

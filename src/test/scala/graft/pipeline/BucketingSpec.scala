@@ -19,7 +19,10 @@ class BucketingSpec extends SparkSuite {
     try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("join of two tables bucketed on the key runs with zero exchanges") {
+  // shared fixture: each test (re)creates the bucketed tables it reads, so
+  // suites and single-test runs never depend on execution order or on
+  // stale tables in the shared warehouse
+  private def writeBucketedTables(): Unit = {
     val seqs = Parse.deriveFields(DataGen.sequences(spark, 2000L, 4))
     spark.sql("DROP TABLE IF EXISTS seq_bucketed")
     spark.sql("DROP TABLE IF EXISTS state_bucketed")
@@ -29,7 +32,10 @@ class BucketingSpec extends SparkSuite {
     seqs.select(col("doc_id"), col("operation"))
       .write.bucketBy(8, "doc_id").sortBy("doc_id")
       .mode("overwrite").saveAsTable("state_bucketed")
+  }
 
+  test("join of two tables bucketed on the key runs with zero exchanges") {
+    writeBucketedTables()
     withNoBroadcast {
       val joined = spark.table("seq_bucketed")
         .join(spark.table("state_bucketed"), "doc_id")
@@ -41,6 +47,7 @@ class BucketingSpec extends SparkSuite {
   }
 
   test("bucketed anti-join (dedup shape) is also exchange-free") {
+    writeBucketedTables()
     withNoBroadcast {
       val anti = spark.table("seq_bucketed")
         .join(spark.table("state_bucketed").filter(col("operation") === "SendAs"),

@@ -80,6 +80,7 @@ class PlanSpec extends SparkSuite {
     * it is lazy). */
   private def exchangesCarrying(df: => org.apache.spark.sql.DataFrame,
                                 keyName: String) = {
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -90,7 +91,11 @@ class PlanSpec extends SparkSuite {
     finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // restore, don't hard-set: a suite-level AQE choice must survive
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
     }
   }
 

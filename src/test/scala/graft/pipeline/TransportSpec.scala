@@ -18,49 +18,23 @@ class TransportSpec extends SparkSuite {
     DataGen.sequences(spark, 1000L, 4), DataGen.routingRules).cache()
 
   test("Graylog TCP: every routed record arrives once, line-framed, byte-exact") {
-    val received = new ConcurrentLinkedQueue[String]()
-    val server = new java.net.ServerSocket(0)
-    val pool = Executors.newCachedThreadPool()
-    @volatile var stopped = false
-    pool.submit(new Runnable {
-      def run(): Unit = while (!stopped) {
-        try {
-          val sock = server.accept()
-          pool.submit(new Runnable {
-            def run(): Unit = {
-              val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-                sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
-              var line = in.readLine()
-              while (line != null) { received.add(line); line = in.readLine() }
-              sock.close()
-            }
-          })
-        } catch { case _: java.net.SocketException => () /* closed */ }
-      }
-    })
+    val server = new graft.LineCaptureServer
     try {
       val shaped = Sinks.graylogShape(routed)
       val expCount = shaped.count()
-      val sent = Transport.sendGraylogTcp(routed, "127.0.0.1", server.getLocalPort)
+      val sent = Transport.sendGraylogTcp(routed, "127.0.0.1", server.port)
       assert(sent === expCount)
-      // reader threads may still be draining after the job returns
-      val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(30)
-      while (received.size < expCount && System.nanoTime() < deadline)
-        Thread.sleep(20)
-      assert(received.size === expCount, "every record must arrive exactly once")
+      server.awaitCount(expCount)
+      assert(server.received.size === expCount, "every record must arrive exactly once")
       // byte-exact sampled record: the wire line equals the driver-side
       // to_json of the same shaped row
       val someId = shaped.select("doc_id").as[String].head()
       val wanted = shaped.filter(col("doc_id") === someId)
         .select(to_json(struct(shaped.columns.map(col): _*))).as[String].head()
-      assert(received.contains(wanted), s"wire format drifted; wanted: $wanted")
+      assert(server.received.contains(wanted), s"wire format drifted; wanted: $wanted")
       // framing: a received line is self-contained JSON with the enrich field
       assert(wanted.contains("\"timestamp\":"))
-    } finally {
-      stopped = true
-      server.close()
-      pool.shutdownNow()
-    }
+    } finally server.close()
   }
 
   test("OMS POST: SharedKey signature verifies server-side; bodies reconcile") {

@@ -29,52 +29,26 @@ class StreamingPipelineSpec extends SparkSuite {
   }
 
   test("streaming + TCP transport: every micro-batch's routed rows hit the wire once") {
-    import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
-    val received = new ConcurrentLinkedQueue[String]()
-    val server = new java.net.ServerSocket(0)
-    val pool = Executors.newCachedThreadPool()
-    @volatile var stopped = false
-    pool.submit(new Runnable {
-      def run(): Unit = while (!stopped) {
-        try {
-          val sock = server.accept()
-          pool.submit(new Runnable {
-            def run(): Unit = {
-              val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-                sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
-              var line = in.readLine()
-              while (line != null) { received.add(line); line = in.readLine() }
-              sock.close()
-            }
-          })
-        } catch { case _: java.net.SocketException => () }
-      }
-    })
+    val server = new graft.LineCaptureServer
     try {
       val in = tmpDir("stream_tx_in"); val out = tmpDir("stream_tx_out")
       writeBatch(in, 0, 600)
       writeBatch(in, 600, 1200)
-      val port = server.getLocalPort
+      val port = server.port
       val routed = StreamingPipeline.runAvailableNow(spark, in, out,
         maxFilesPerTrigger = 1,
         transport = Some(df => Transport.sendGraylogTcp(df, "127.0.0.1", port)))
       // graylogShape drops nothing here (every routed row has CreationTime)
-      val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(30)
-      while (received.size < routed && System.nanoTime() < deadline)
-        Thread.sleep(20)
-      assert(received.size === routed, "each routed row wired exactly once")
+      server.awaitCount(routed)
+      assert(server.received.size === routed, "each routed row wired exactly once")
       // doc ids on the wire == doc ids in the routed parquet, no dups
-      val wireIds = received.toArray(Array.empty[String])
+      val wireIds = server.received.toArray(Array.empty[String])
         .map(l => "\"doc_id\":\"(doc-\\d+)\"".r.findFirstMatchIn(l).get.group(1))
       assert(wireIds.length === wireIds.distinct.length)
       val fileIds = spark.read.parquet(s"$out/routed")
         .select("doc_id").as[String].collect().toSet
       assert(wireIds.toSet === fileIds)
-    } finally {
-      stopped = true
-      server.close()
-      pool.shutdownNow()
-    }
+    } finally server.close()
   }
 
   test("second drain over new + old files emits only the new rows (ST2/ST4)") {
