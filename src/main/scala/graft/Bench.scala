@@ -52,6 +52,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nRows = DataGen.rowsForSf(sfDir)
 
+    // Pre-flight: fail NOW with an explicit message if the scratch volume is
+    // low — not twenty stages in with a shuffle temp-file error (which is
+    // exactly how round 3's driver bench died). ~2x the expected peak
+    // scratch (sink outputs + shuffle spill + large-state bench) at sf0.1.
+    graft.util.Scratch.requireFreeSpace(
+      sys.env.getOrElse("SPARK_GRAFT_MIN_FREE_GB", "8").toLong * (1L << 30))
+
     val spark = session(cpus)
 
     // warm the JVM/codegen once at small scale
@@ -65,11 +72,14 @@ object Bench {
     // timings (BASELINE.md documents the same binary spanning 6.6-58 s
     // across contention windows).
     var routed = 0L
+    // each iteration's output dir is deleted right after its timed run (the
+    // deletion is OUTSIDE the timer: the measured write pays full I/O cost)
     val tPipeline = (1 to 3).map { _ =>
-      val outDir = java.nio.file.Files.createTempDirectory("bench_pipe").toString
-      time {
-        routed = Pipeline.run(spark, DataGen.sequences(spark, nRows, cpus * 2),
-          outDir).stats.rowsRouted
+      graft.util.Scratch.withTempDir("bench_pipe") { outDir =>
+        time {
+          routed = Pipeline.run(spark, DataGen.sequences(spark, nRows, cpus * 2),
+            outDir).stats.rowsRouted
+        }
       }
     }.min
 
@@ -153,6 +163,31 @@ object Bench {
       val c = t("customer"); val o = t("orders")
       o.join(c, c("c_custkey") === o("o_custkey"))
         .groupBy("c_mktsegment").agg(count(lit(1))).count()
+    }
+
+    // ---- dedup at an activating (>10M-row) state size -------------------
+    // The Bloom pre-prune path of StateStore.dedup vs the plain anti-join,
+    // at a state size (12M ids) past both the broadcast-join and the
+    // bloomPruneThreshold cutoffs. Incoming = 4M full-width sequence rows,
+    // 25% already known (doc ids 3M-4M overlap the state's 3M-15M) — the
+    // steady-state regime the prune targets, where most rows are fresh and
+    // the plain path shuffles them all for nothing. The bloom timing
+    // includes EVERYTHING its path costs: the state count, the knownIds
+    // checkpoint, the treeAggregate filter build and both complementary
+    // incoming scans.
+    locally {
+      val stateN = 12000000L
+      val inN = 4000000L
+      def knownDf = spark.range(3000000L, 3000000L + stateN)
+        .select(format_string("doc-%012d", col("id")).as("content_id"))
+      def incoming = DataGen.sequences(spark, inN, cpus * 2)
+      val st = new StateStore("bench-dedup-state-never-touched")
+      queries("dedup_large_state_bloom") = time2 {
+        st.dedup(incoming, knownDf).count()
+      }
+      queries("dedup_large_state_plain") = time2 {
+        st.dedup(incoming, knownDf, bloomPruneThreshold = -1L).count()
+      }
     }
 
     // ---- byte-level sink throughput (loopback) --------------------------

@@ -293,9 +293,17 @@ object DedupOps {
         math.max(1, touched.length / 500000 + 1)))
       .toDF("id", "label")
     // defensive union of pair endpoints, same contract as the distributed
-    // path: an endpoint absent from `nodes` still gets labeled
+    // path: an endpoint absent from `nodes` still gets labeled.
+    // The broadcast hint is bounded by TOUCHED-NODE count, not edge count
+    // (ADVICE r3): at the 500k-edge gate the label table can reach ~1M rows
+    // — two longs each, still comfortably broadcastable — but a caller who
+    // raises driverEdgeThreshold could push it past sensible broadcast
+    // sizes, so above 1M nodes the hint is dropped and the planner decides
+    // (labels is RDD-backed; a shuffle join over it is correct, just
+    // costlier).
+    val labelsJ = if (touched.length <= 1000000) broadcast(labels) else labels
     nodes.select(col("id")).union(labels.select(col("id"))).distinct()
-      .join(broadcast(labels), Seq("id"), "left_outer")
+      .join(labelsJ, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
@@ -367,9 +375,19 @@ object DedupOps {
       s"minJaccardPct=$minJaccardPct: the prefix filter needs a positive threshold " +
       "(at 0 every pair qualifies vacuously — that's a cross join, not a similarity join)")
     val src = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(textCol).as("text"))
+    // SINGLE-SCAN CONTRACT: the (id, shingles) projection is materialized
+    // once (eager localCheckpoint) — the df-ordering explode and the two
+    // per-surviving-pair fetch joins below all read these blocks instead of
+    // re-deriving the shingle scan three times through the lazy lineage
+    // (three full corpus scans at 100 TB). localCheckpoint rather than
+    // persist because the returned DataFrame is lazy: an unpersist inside
+    // this function would race the caller's action, and a leaked persist
+    // would pin executor memory. Blocks are freed by the ContextCleaner
+    // once unreachable.
     val sized = src.select(col("blk"), col("id"),
         graft.functions.GraftFunctions.shingle_hashes(col("text"), n).as("sh"))
       .withColumn("ns", size(col("sh")))
+      .localCheckpoint()
     // df-ascending re-order: explode to (id, tok) scalars, count df per
     // token, re-group each doc's shingles sorted by (df, tok)
     val exploded = sized.select(col("blk"), col("id"), col("ns"),

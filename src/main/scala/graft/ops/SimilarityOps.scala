@@ -122,13 +122,21 @@ object SimilarityOps {
    * the same shape as DedupOps.minhashNearDups (PlanSpec asserts the
    * band exchange stays array-free). Output matches bruteForceTopK's
    * shape; recall < 1 by design.
+   *
+   * `bits <= 0` (the default) derives the signature width from the corpus
+   * size via [[occupancyBits]] — the same autoscale embeddingNearDups has.
+   * The bucket-local self-join is quadratic in occupancy, so a FIXED bits
+   * at growing n is a disguised near-cartesian: a naive caller at 10^9
+   * vectors with bits=8 would get ~4M-row buckets and a 10^13-pair join.
+   * Costs one count() of the corpus; pass explicit bits to skip it.
    */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, bits: Int, tables: Int = 4): DataFrame = {
+              k: Int, bits: Int = 0, tables: Int = 4): DataFrame = {
     val src = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val b0 = if (bits > 0) bits else occupancyBits(src.count())
     val signed = src.select(col("id"),
       explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tbl"), tableSignature(col("v"), bits, t).as("sig"))): _*))
+        struct(lit(t).as("tbl"), tableSignature(col("v"), b0, t).as("sig"))): _*))
         .as("ts"))
       .select(col("id"), col("ts.tbl"), col("ts.sig"))
     val a = signed.select(col("tbl"), col("sig"), col("id").as("query_id"))

@@ -90,8 +90,12 @@ object Pipeline {
 
     val fresh =
       if (cfg.skipKnownLogs)
+        // liveRowCount is memoized per snapshot (parquet-footer counts), so
+        // the bloom-threshold decision costs no per-run count job and the
+        // commit-path re-evaluation of `fresh` can never re-fire one
         state.dedup(sequences, state.load(spark, cfg.nowEpochSec),
-          withinBatch = cfg.dedupWithinRun)
+          withinBatch = cfg.dedupWithinRun,
+          knownSizeHint = state.liveRowCount(spark))
       else if (cfg.dedupWithinRun) sequences.dropDuplicates("doc_id")
       else sequences
 

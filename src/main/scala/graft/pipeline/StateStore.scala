@@ -133,7 +133,8 @@ class StateStore(val dir: String) {
   def dedup(incoming: DataFrame, known: DataFrame, idCol: String = "doc_id",
             withinBatch: Boolean = false,
             bloomPruneThreshold: Long = 10000000L,
-            bloomFpp: Double = 0.01): DataFrame = {
+            bloomFpp: Double = 0.01,
+            knownSizeHint: Long = -1L): DataFrame = {
     // withinBatch=true also collapses duplicate ids WITHIN the incoming
     // batch — the reference's sequential contains_key+insert drops repeats
     // inside a run too (src/collector.rs:161). Off by default: it costs an
@@ -141,7 +142,7 @@ class StateStore(val dir: String) {
     // file batches) carry unique ids. Turn it on for sources that can
     // repeat ids within one batch.
     val in = if (withinBatch) incoming.dropDuplicates(idCol) else incoming
-    val knownIds = known.select(col("content_id").as(idCol)).distinct()
+    val knownIds0 = known.select(col("content_id").as(idCol)).distinct()
     // BLOOM PRE-PRUNE for large states: once the state outgrows a
     // broadcast, the anti-join becomes a sort-merge that shuffles the
     // ENTIRE corpus — yet at steady state most rows are fresh and never
@@ -150,33 +151,104 @@ class StateStore(val dir: String) {
     // scan-side; only the maybe-known sliver (known fraction + fpp)
     // shuffles. False positives just take the join path, so results are
     // identical to the plain anti-join (StateStoreSpec pins equality).
-    // Costs one metadata-cheap count of the state and a second scan of
-    // `incoming` with complementary pushed filters — both trivia next to
-    // the corpus shuffle they remove.
-    val stateSize = if (bloomPruneThreshold >= 0) known.count() else -1L
+    // The threshold decision needs the state size: callers that already
+    // know it (Pipeline / streaming pass liveRowCount, memoized per
+    // snapshot) supply knownSizeHint so no per-call count job fires.
+    val stateSize =
+      if (bloomPruneThreshold < 0) -1L
+      else if (knownSizeHint >= 0) knownSizeHint
+      else known.count()
     if (bloomPruneThreshold >= 0 && stateSize > bloomPruneThreshold) {
+      // one evaluation of the distinct'd state ids feeds BOTH the Bloom
+      // build and the anti-join (the build is an eager RDD action; without
+      // the checkpoint the join would re-scan + re-shuffle the state).
+      // Blocks are freed by the ContextCleaner once the result is GC'd.
+      val knownIds = knownIds0.localCheckpoint()
       val bloom = buildBloom(knownIds, idCol, stateSize, bloomFpp)
-      val might = graft.functions.GraftFunctions.bloom_might_contain(col(idCol), bloom)
+      // Probe in the SAME hash domain the builder inserted (putLong for
+      // long/int ids, UTF-8 bytes of the string cast otherwise) — a
+      // string-built bloom probed via mightContainLong would false-negative
+      // ~every known id and silently pass duplicates as fresh.
+      val idType = in.schema(idCol).dataType
+      val probeCol = idType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType => col(idCol)
+        case _ => col(idCol).cast("string")
+      }
+      val might = graft.functions.GraftFunctions.bloom_might_contain(probeCol, bloom)
+      // NULL ids never match an anti-join key, so the plain path KEEPS
+      // them; the bloom probe evaluates to NULL for a null id and both
+      // filter(might) and filter(!might) would silently drop the row —
+      // null ids are routed down the definitely-fresh branch explicitly.
       in.filter(might).join(knownIds, Seq(idCol), "left_anti")
-        .unionByName(in.filter(!might))
+        .unionByName(in.filter(col(idCol).isNull || !might))
     } else {
-      in.join(knownIds, Seq(idCol), "left_anti")
+      in.join(knownIds0, Seq(idCol), "left_anti")
     }
   }
 
   /** Distributed Bloom build over the state ids: per-partition filters
-    * merged via treeAggregate. Ids are put as their UTF-8 bytes — the same
-    * contract BloomMightContainExpr probes with, so builder and probe can
-    * never drift. */
+    * merged via treeAggregate. Long/int ids are inserted via putLong, all
+    * others as the UTF-8 bytes of their string cast — each matching exactly
+    * how `dedup` probes that type (BloomMightContainExpr.mightContainLong /
+    * mightContainUtf8), so builder and probe can never drift. Null state
+    * ids are skipped: a null key never matches an anti-join probe anyway,
+    * and null incoming ids bypass the bloom entirely (see dedup). */
   private def buildBloom(ids: DataFrame, idCol: String, expected: Long,
                          fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
     import org.apache.spark.util.sketch.BloomFilter
+    import org.apache.spark.sql.types.{IntegerType, LongType}
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("string")).as[String].rdd
-      .treeAggregate(BloomFilter.create(math.max(1L, expected), fpp))(
-        (f, s) => { f.putBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f },
-        (a, b) => { a.mergeInPlace(b); a })
+    val nonNull = ids.filter(col(idCol).isNotNull)
+    val zero = BloomFilter.create(math.max(1L, expected), fpp)
+    ids.schema(idCol).dataType match {
+      case LongType | IntegerType =>
+        nonNull.select(col(idCol).cast("long")).as[Long].rdd
+          .treeAggregate(zero)(
+            (f, v) => { f.putLong(v); f },
+            (a, b) => { a.mergeInPlace(b); a })
+      case _ =>
+        nonNull.select(col(idCol).cast("string")).as[String].rdd
+          .treeAggregate(zero)(
+            (f, s) => { f.putBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f },
+            (a, b) => { a.mergeInPlace(b); a })
+    }
+  }
+
+  // raw live row count, memoized per committed snapshot — see liveRowCount
+  @volatile private var sizeCache: (Int, Long) = (-2, -1L)
+
+  /**
+   * Raw live state row count (no expiry filter — an upper bound on any
+   * loaded view, which is the right direction for a bloom-threshold
+   * decision). Memoized per committed snapshot and updated INCREMENTALLY:
+   * after a commit only the new delta directories are counted (parquet
+   * footer metadata), so repeated dedup calls across streaming
+   * micro-batches never re-count the whole state (ADVICE r3).
+   */
+  def liveRowCount(spark: SparkSession): Long = {
+    val snap = currentSnapshot.getOrElse(-1)
+    val (cSnap, cN) = sizeCache
+    if (cSnap == snap) cN
+    else {
+      val n =
+        if (cSnap >= -1 && cSnap < snap &&
+            Files.exists(Paths.get(snapshotPath(math.max(0, cSnap))))) {
+          // cache predates `snap` and the old deltas still exist (i.e. no
+          // compact() rewrote history): count only the new deltas
+          val newPaths = (cSnap + 1 to snap).map(snapshotPath)
+            .filter(p => Files.exists(Paths.get(p)))
+          cN + (if (newPaths.isEmpty) 0L
+                else spark.read.parquet(newPaths: _*).count())
+        } else {
+          val paths = livePaths
+          if (paths.isEmpty) 0L else spark.read.parquet(paths: _*).count()
+        }
+      sizeCache = (snap, n)
+      n
+    }
   }
 
   /**

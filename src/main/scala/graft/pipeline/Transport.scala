@@ -97,6 +97,74 @@ object Transport {
       }.rdd.fold(0L)(_ + _)
   }
 
+  /**
+   * Fluentd forward-protocol writer (JSON mode): the reference forwards
+   * each record through a poston worker pool with 1,000-entry / 10 ms flush
+   * batching (src/interfaces/fluentd_interface.rs:15-55, settings at
+   * :22-28) — tag = the configured tenant name, event time parsed from the
+   * record's CreationTime (:58-64). Here each PARTITION holds one
+   * connection and emits Forward-mode messages
+   *
+   *   ["<tenant>", [[<epoch_sec>, {record}], ...]]\n
+   *
+   * flushed every `maxBatch` entries — the reference's batch bound; its
+   * 10 ms timer flush is an async-worker liveness detail with no analog in
+   * a run-to-completion task, where the end-of-partition flush plays that
+   * role. Records whose CreationTime is missing/unparsable are dropped
+   * (the reference PANICS on them, :60 unwrap — a poison row; our
+   * quarantine path is where they surface). Returns entries sent.
+   */
+  def sendFluentdForward(df: DataFrame, host: String, port: Int,
+                         tenant: String = "MyTenant",
+                         maxBatch: Int = 1000): Long = {
+    require(maxBatch > 0)
+    val shaped = Sinks.fluentdShape(df, tenant)
+    val wire = shaped.filter(col("event_time").isNotNull)
+      .select(unix_timestamp(col("event_time")).as("t"),
+        to_json(col("record")).as("rec"))
+    val header = "[" + jsonString(tenant) + ",["
+    import shaped.sparkSession.implicits._
+    wire.as[(Long, String)].mapPartitions { it =>
+      if (!it.hasNext) Iterator(0L)
+      else {
+        val sock = new java.net.Socket(host, port)
+        try {
+          val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
+          val buf = new scala.collection.mutable.ArrayBuffer[String](maxBatch)
+          var n = 0L
+          def flush(): Unit = if (buf.nonEmpty) {
+            out.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            out.write(buf.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            out.write("]]\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            n += buf.size
+            buf.clear()
+          }
+          it.foreach { case (t, rec) =>
+            buf += s"[$t,$rec]"
+            if (buf.size >= maxBatch) flush()
+          }
+          flush()
+          out.flush()
+          Iterator(n)
+        } finally sock.close()
+      }
+    }.rdd.fold(0L)(_ + _)
+  }
+
+  /** Minimal JSON string encoder for the forward-mode tag (config-supplied
+    * tenant names can carry quotes/backslashes; records go through
+    * to_json, which escapes for itself). */
+  private def jsonString(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
   /** One signed POST (executor-side). Exposed for the header-level spec. */
   def postOms(endpoint: String, workspaceId: String, sharedKeyB64: String,
               logType: String, bodyJsonArray: String): Int = {

@@ -69,8 +69,11 @@ object StreamingPipeline {
         if (!java.nio.file.Files.exists(marker)) {
           val fresh =
             if (cfg.skipKnownLogs)
+              // liveRowCount memoizes per snapshot + counts only new deltas
+              // after each commit — no full state count per micro-batch
               state.dedup(batch, state.load(spark, cfg.nowEpochSec),
-                withinBatch = cfg.dedupWithinRun)
+                withinBatch = cfg.dedupWithinRun,
+                knownSizeHint = state.liveRowCount(spark))
             else if (cfg.dedupWithinRun) batch.dropDuplicates("doc_id")
             else batch
           val replayAfterStateCommit =

@@ -35,7 +35,11 @@ object DumpPlans {
         "Broadcast hash anti-join while state is small; degrades to shuffled " +
         "join at scale with no code change.",
         {
+          // tracked for deletion at exit (the lazy plan needs the state
+          // files until the dump below runs)
           val out = java.nio.file.Files.createTempDirectory("plans").toString
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            graft.util.Scratch.deleteRecursively(out)))
           val st = new StateStore(s"$out/state")
           import spark.implicits._
           st.commit(spark, Seq("doc-0").toDF("doc_id"), "doc_id",

@@ -36,14 +36,16 @@ object OpTime {
         println(f"[optime]   ivf build=${(t1 - t0) / 1e9}%.2fs probe=${(System.nanoTime() - t1) / 1e9}%.2fs")
         idx.unpersist(); r
       case "pipe" =>
-        val outDir = java.nio.file.Files.createTempDirectory("optime_pipe").toString
-        graft.pipeline.Pipeline.run(spark,
-          graft.pipeline.DataGen.sequences(spark, 1000000L, 64), outDir).stats.rowsRouted
+        graft.util.Scratch.withTempDir("optime_pipe") { outDir =>
+          graft.pipeline.Pipeline.run(spark,
+            graft.pipeline.DataGen.sequences(spark, 1000000L, 64), outDir).stats.rowsRouted
+        }
       case "pipe0" => // A/B: file sizing disabled (one file per cache partition)
-        val outDir = java.nio.file.Files.createTempDirectory("optime_pipe0").toString
-        graft.pipeline.Pipeline.run(spark,
-          graft.pipeline.DataGen.sequences(spark, 1000000L, 64), outDir,
-          graft.pipeline.Pipeline.Config(targetRowsPerFile = 0L)).stats.rowsRouted
+        graft.util.Scratch.withTempDir("optime_pipe0") { outDir =>
+          graft.pipeline.Pipeline.run(spark,
+            graft.pipeline.DataGen.sequences(spark, 1000000L, 64), outDir,
+            graft.pipeline.Pipeline.Config(targetRowsPerFile = 0L)).stats.rowsRouted
+        }
       case other => sys.error(s"unknown op: $other")
     }
     run() // warm

@@ -5,11 +5,11 @@ object PersistAb {
     val spark = GraftSession.local(32, "persist-ab")
     val n = 1000000L
     def time(f: => Any): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
-    def run(persist: Boolean): Double = {
-      val out = java.nio.file.Files.createTempDirectory("pab").toString
-      time(Pipeline.run(spark, DataGen.sequences(spark, n, 64), out,
-        Pipeline.Config(persistRouted = persist)))
-    }
+    def run(persist: Boolean): Double =
+      graft.util.Scratch.withTempDir("pab") { out =>
+        time(Pipeline.run(spark, DataGen.sequences(spark, n, 64), out,
+          Pipeline.Config(persistRouted = persist)))
+      }
     run(true) // warm
     var bp = Double.MaxValue; var br = Double.MaxValue
     for (i <- 1 to 3) {

@@ -18,11 +18,17 @@ object PipelineProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // output dirs live only for the run — profiling litter filled the disk
+    // in round 3 (see graft.util.Scratch)
+    try graft.util.Scratch.withTempDir("prof")(profile(spark, n, cpus, _))
+    finally spark.stop()
+  }
+
+  private def profile(spark: SparkSession, n: Long, cpus: Int, outDir: String): Unit = {
     def time[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[profile] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
-    val outDir = java.nio.file.Files.createTempDirectory("prof").toString
     val seqs = DataGen.sequences(spark, n, cpus * 2)
     val filtered = FilterStage.applyStatic(Parse.deriveFields(seqs), DataGen.routingRules)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -39,8 +45,9 @@ object PipelineProfile {
     val st = new StateStore(s"$outDir/state")
     time("state commit")(st.commit(spark, seqs.select("doc_id"), "doc_id", 1L << 40, 1L << 30))
     filtered.unpersist()
-    val outDir2 = java.nio.file.Files.createTempDirectory("prof2").toString
-    time("Pipeline.run e2e")(Pipeline.run(spark, DataGen.sequences(spark, n, cpus * 2), outDir2))
-    spark.stop()
+    graft.util.Scratch.withTempDir("prof2") { outDir2 =>
+      time("Pipeline.run e2e")(Pipeline.run(spark, DataGen.sequences(spark, n, cpus * 2), outDir2))
+    }
+    ()
   }
 }

@@ -5,6 +5,19 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for all suites (one JVM; sbt forks once). */
 object SparkSuite {
+  // Every temp dir any suite creates is registered here and deleted when the
+  // test JVM exits — spec litter (state stores, sink outputs, streaming
+  // checkpoints) otherwise accumulates across rounds and filled the disk in
+  // round 3 (see graft.util.Scratch). Deletion is best-effort and happens at
+  // exit, so tests keep their dirs for their whole lifetime.
+  private val created = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  def track(dir: String): String = { created.add(dir); dir }
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    created.forEach(d => graft.util.Scratch.deleteRecursively(d))
+  }))
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
@@ -13,7 +26,7 @@ object SparkSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+        track(java.nio.file.Files.createTempDirectory("graft_wh").toString))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -24,5 +37,5 @@ object SparkSuite {
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSuite.spark
   def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    SparkSuite.track(java.nio.file.Files.createTempDirectory(prefix).toString)
 }

@@ -126,6 +126,22 @@ class DedupOpsSpec extends SparkSuite {
     info(s"pairs at hamming<=5: ${brute.length}, of which 4-5: ${beyondOldGuarantee.length}")
   }
 
+  test("ngramJaccardPairs single-scan contract: shingles computed once, downstream reads the checkpoint") {
+    // VERDICT r3 #5: the df-ordering explode and the two candidate fetch
+    // joins used to each re-derive the shingle scan through the lazy
+    // lineage — three full corpus scans at 100 TB. The (id, shingles)
+    // projection is now eagerly localCheckpoint'd, so the downstream plan
+    // must contain ZERO ShingleHashes kernels (they all ran inside the
+    // checkpoint job) and read the materialized blocks instead.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", "lang", 2, 55)
+    val plan = pairs.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("shinglehashes"),
+      s"shingle scan leaked back into the downstream plan (re-derivation):\n$plan")
+    assert(plan.contains("existing rdd") || plan.contains("scan existingrdd"),
+      s"expected the checkpointed projection as the scan source:\n$plan")
+  }
+
   test("ngramJaccardPairs: verified counts are exact set sizes") {
     val df = Seq((1L, "a b c d", "g"), (2L, "a b c e", "g"), (3L, "x y z w", "g"))
       .toDF("doc_id", "text", "lang")

@@ -103,6 +103,57 @@ class StateStoreSpec extends SparkSuite {
     assert(plan.toLowerCase.contains("bloommightcontain"), s"plan:\n$plan")
   }
 
+  test("bloom-pruned dedup ≡ plain anti-join for LONG ids (builder/probe hash domains match)") {
+    // ADVICE r3: the builder inserted UTF-8 bytes of the string cast while
+    // the probe hashed raw longs for integral id columns — ~every known
+    // long id false-negatived and passed dedup as a duplicate. The builder
+    // now putLong()s integral ids, matching mightContainLong.
+    val st = new StateStore(tmpDir("st_bloom_long"))
+    val known = spark.range(0, 500).select(col("id").as("content_id"))
+    val incoming = spark.range(0, 1000).select(col("id").as("doc_id"))
+    val plain = st.dedup(incoming, known, bloomPruneThreshold = -1L)
+      .as[Long].collect().toSet
+    val pruned = st.dedup(incoming, known, bloomPruneThreshold = 0L)
+      .as[Long].collect().toSet
+    assert(plain === (500L until 1000L).toSet)
+    assert(pruned === plain,
+      "a hash-domain drift between bloom builder and probe silently passes duplicates")
+    // int ids take the same putLong/mightContainLong path
+    val knownInt = spark.range(0, 500).select(col("id").cast("int").as("content_id"))
+    val incomingInt = spark.range(0, 1000).select(col("id").cast("int").as("doc_id"))
+    assert(st.dedup(incomingInt, knownInt, bloomPruneThreshold = 0L).count() === 500)
+  }
+
+  test("bloom path keeps NULL-id rows (plain anti-join semantics) and tolerates null state ids") {
+    // ADVICE r3: both filter(might) and filter(!might) are NULL for a null
+    // id — the bloom path silently dropped exactly the malformed rows the
+    // plain anti-join keeps (a null key never matches). Null ids now route
+    // down the definitely-fresh branch explicitly, and null STATE ids are
+    // skipped by the builder instead of NPE-ing the treeAggregate.
+    val st = new StateStore(tmpDir("st_bloom_null"))
+    val known = Seq(Some("a"), Some("b"), None).toDF("content_id")
+    val incoming = Seq(Some("a"), Some("c"), None, None).toDF("doc_id")
+    val plain = st.dedup(incoming, known, bloomPruneThreshold = -1L)
+      .as[Option[String]].collect().sortBy(_.getOrElse(""))
+    val pruned = st.dedup(incoming, known, bloomPruneThreshold = 0L)
+      .as[Option[String]].collect().sortBy(_.getOrElse(""))
+    assert(plain.toSeq === Seq(None, None, Some("c")))
+    assert(pruned.toSeq === plain.toSeq,
+      "the bloom prune must not drop null-id rows the plain anti-join keeps")
+  }
+
+  test("liveRowCount: memoized per snapshot, incremental across commits, survives compact") {
+    val st = new StateStore(tmpDir("st_count"))
+    assert(st.liveRowCount(spark) === 0)
+    st.commit(spark, Seq("a", "b", "c").toDF("doc_id"), "doc_id", future, now)
+    assert(st.liveRowCount(spark) === 3)
+    assert(st.liveRowCount(spark) === 3) // cached (same snapshot)
+    st.commit(spark, Seq("d", "e").toDF("doc_id"), "doc_id", future, now)
+    assert(st.liveRowCount(spark) === 5) // incremental: only the new delta counted
+    st.compact(spark)
+    assert(st.liveRowCount(spark) === 5) // history rewritten → full recount path
+  }
+
   test("bloom_might_contain: zero false negatives over every inserted id") {
     import org.apache.spark.util.sketch.BloomFilter
     val bf = BloomFilter.create(1000, 0.01)

@@ -37,6 +37,55 @@ class TransportSpec extends SparkSuite {
     } finally server.close()
   }
 
+  test("Fluentd forward: every record arrives once; sampled message byte-exact") {
+    val server = new graft.LineCaptureServer
+    try {
+      val shaped = Sinks.fluentdShape(routed, "MyTenant")
+        .filter(col("event_time").isNotNull)
+      val expCount = shaped.count()
+      // maxBatch=1 → one forward-mode message per record, so a sampled
+      // message is reconstructable driver-side byte-for-byte
+      val sent = Transport.sendFluentdForward(routed, "127.0.0.1", server.port,
+        "MyTenant", maxBatch = 1)
+      assert(sent === expCount)
+      server.awaitCount(expCount)
+      assert(server.received.size === expCount, "every entry must arrive exactly once")
+      val sample = shaped
+        .select(unix_timestamp(col("event_time")).as("t"),
+          to_json(col("record")).as("rec"))
+        .as[(Long, String)].head()
+      val wanted = s"""["MyTenant",[[${sample._1},${sample._2}]]]"""
+      assert(server.received.contains(wanted), s"wire format drifted; wanted: $wanted")
+    } finally server.close()
+  }
+
+  test("Fluentd forward: flush at the reference's 1,000-entry batch bound") {
+    val server = new graft.LineCaptureServer
+    try {
+      // ~3k routed rows in ONE partition → ceil(n/1000) messages, all full
+      // batches except the terminal flush (the poston max_flush_entries
+      // bound, fluentd_interface.rs:22-28)
+      val onePart = Pipeline.routedRecords(
+        DataGen.sequences(spark, 8000L, 1), DataGen.routingRules)
+      val expCount = Sinks.fluentdShape(onePart, "T")
+        .filter(col("event_time").isNotNull).count()
+      val sent = Transport.sendFluentdForward(onePart, "127.0.0.1", server.port, "T")
+      assert(sent === expCount)
+      val expMsgs = (expCount + 999) / 1000
+      server.awaitCount(expMsgs)
+      val msgs = server.received.toArray(Array.empty[String])
+      assert(msgs.length === expMsgs,
+        s"expected $expMsgs forward messages for $expCount entries, got ${msgs.length}")
+      // entry counts per message: all full batches except possibly the last
+      val sizes = msgs.map(m => "\"doc_id\"".r.findAllIn(m).size).sorted.reverse
+      assert(sizes.sum === expCount)
+      assert(sizes.init.forall(_ === 1000),
+        s"non-terminal flushes must carry exactly maxBatch entries: ${sizes.toSeq}")
+      // every message is a well-formed ["tag",[...]] frame
+      assert(msgs.forall(m => m.startsWith("[\"T\",[[") && m.endsWith("]]")))
+    } finally server.close()
+  }
+
   test("OMS POST: SharedKey signature verifies server-side; bodies reconcile") {
     val workspaceId = "ws-test-1234"
     val keyB64 = java.util.Base64.getEncoder.encodeToString(
