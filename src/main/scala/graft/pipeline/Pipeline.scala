@@ -59,7 +59,13 @@ object Pipeline {
     // only enabled record sinks are written; the file sink becomes a real
     // CSV at the configured path/separator/mode. Operational outputs
     // (prtg, checksums, quarantine, metrics, state) are always written.
-    output: Option[OutputConfig] = None)
+    output: Option[OutputConfig] = None,
+    // None = the default snapshot-delta StateStore at <outDir>/state.
+    // Some(backend) = the known-content state lives wherever the backend
+    // says — e.g. CatalogStateBackend("cat.db.known_content") for an
+    // Iceberg/Delta (or plain session-catalog) table. The dedup anti-join,
+    // commit ordering and run stats are identical across backends.
+    stateBackend: Option[StateBackend] = None)
 
   case class Result(stats: RunStats, snapshot: Option[Int])
 
@@ -86,16 +92,18 @@ object Pipeline {
   def run(spark: SparkSession, sequences: DataFrame, outDir: String,
           cfg: Config = Config()): Result = {
 
-    val state = new StateStore(s"$outDir/state")
+    val backend = cfg.stateBackend.getOrElse(
+      new SnapshotStateBackend(new StateStore(s"$outDir/state")))
 
     val fresh =
       if (cfg.skipKnownLogs)
-        // liveRowCount is memoized per snapshot (parquet-footer counts), so
-        // the bloom-threshold decision costs no per-run count job and the
-        // commit-path re-evaluation of `fresh` can never re-fire one
-        state.dedup(sequences, state.load(spark, cfg.nowEpochSec),
+        // sizeHint is metadata-cheap and memoized (SnapshotStateBackend →
+        // liveRowCount per snapshot), so the bloom-threshold decision costs
+        // no per-run count job and the commit-path re-evaluation of `fresh`
+        // can never re-fire one
+        StateStore.dedup(sequences, backend.load(spark, cfg.nowEpochSec),
           withinBatch = cfg.dedupWithinRun,
-          knownSizeHint = state.liveRowCount(spark))
+          knownSizeHint = backend.sizeHint(spark))
       else if (cfg.dedupWithinRun) sequences.dropDuplicates("doc_id")
       else sequences
 
@@ -213,14 +221,14 @@ object Pipeline {
       // :176-184) — so commit all fresh ids, not just routed ones. This is
       // a second, column-pruned pass over the input (doc_id only), cheaper
       // at scale than keeping the pre-filter set cached through the fan-out.
-      val snap = state.commit(spark, fresh.select("doc_id"), "doc_id",
+      val rowsFresh = backend.commit(spark, fresh.select("doc_id"), "doc_id",
         cfg.expirationEpochSec, cfg.nowEpochSec)
 
-      // Stats: all counts are either parquet-footer metadata counts (input,
-      // committed snapshot) or served from the persisted filtered set —
-      // no extra full passes (reference's RunStatistics, A1/A4).
+      // Stats: all counts are either storage metadata counts (input,
+      // committed snapshot — backend.commit returns the footer count) or
+      // served from the persisted filtered set — no extra full passes
+      // (reference's RunStatistics, A1/A4).
       val rowsIn = sequences.count()
-      val rowsFresh = spark.read.parquet(state.snapshotPath(snap)).count()
       val rowsFiltered = filteredCached.count()
       val rowsRouted = cached.count()
       val stats = RunStats(
@@ -231,7 +239,7 @@ object Pipeline {
         rowsDroppedByFilter = rowsFresh * cfg.duplicate - rowsFiltered,
         rowsQuarantined = rowsFiltered - rowsRouted,
         rowsRouted = rowsRouted)
-      Result(stats, Some(snap))
+      Result(stats, backend.currentVersion)
     } finally if (cfg.persistRouted) { filteredCached.unpersist(); () }
   }
 }

@@ -134,88 +134,9 @@ class StateStore(val dir: String) {
             withinBatch: Boolean = false,
             bloomPruneThreshold: Long = 10000000L,
             bloomFpp: Double = 0.01,
-            knownSizeHint: Long = -1L): DataFrame = {
-    // withinBatch=true also collapses duplicate ids WITHIN the incoming
-    // batch — the reference's sequential contains_key+insert drops repeats
-    // inside a run too (src/collector.rs:161). Off by default: it costs an
-    // exchange on the id, and the engine's own sources (listing scans,
-    // file batches) carry unique ids. Turn it on for sources that can
-    // repeat ids within one batch.
-    val in = if (withinBatch) incoming.dropDuplicates(idCol) else incoming
-    val knownIds0 = known.select(col("content_id").as(idCol)).distinct()
-    // BLOOM PRE-PRUNE for large states: once the state outgrows a
-    // broadcast, the anti-join becomes a sort-merge that shuffles the
-    // ENTIRE corpus — yet at steady state most rows are fresh and never
-    // match. A broadcast Bloom filter over the state ids lets definitely-
-    // fresh rows (no false negatives by construction) skip the join
-    // scan-side; only the maybe-known sliver (known fraction + fpp)
-    // shuffles. False positives just take the join path, so results are
-    // identical to the plain anti-join (StateStoreSpec pins equality).
-    // The threshold decision needs the state size: callers that already
-    // know it (Pipeline / streaming pass liveRowCount, memoized per
-    // snapshot) supply knownSizeHint so no per-call count job fires.
-    val stateSize =
-      if (bloomPruneThreshold < 0) -1L
-      else if (knownSizeHint >= 0) knownSizeHint
-      else known.count()
-    if (bloomPruneThreshold >= 0 && stateSize > bloomPruneThreshold) {
-      // one evaluation of the distinct'd state ids feeds BOTH the Bloom
-      // build and the anti-join (the build is an eager RDD action; without
-      // the checkpoint the join would re-scan + re-shuffle the state).
-      // Blocks are freed by the ContextCleaner once the result is GC'd.
-      val knownIds = knownIds0.localCheckpoint()
-      val bloom = buildBloom(knownIds, idCol, stateSize, bloomFpp)
-      // Probe in the SAME hash domain the builder inserted (putLong for
-      // long/int ids, UTF-8 bytes of the string cast otherwise) — a
-      // string-built bloom probed via mightContainLong would false-negative
-      // ~every known id and silently pass duplicates as fresh.
-      val idType = in.schema(idCol).dataType
-      val probeCol = idType match {
-        case org.apache.spark.sql.types.StringType |
-             org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.IntegerType => col(idCol)
-        case _ => col(idCol).cast("string")
-      }
-      val might = graft.functions.GraftFunctions.bloom_might_contain(probeCol, bloom)
-      // NULL ids never match an anti-join key, so the plain path KEEPS
-      // them; the bloom probe evaluates to NULL for a null id and both
-      // filter(might) and filter(!might) would silently drop the row —
-      // null ids are routed down the definitely-fresh branch explicitly.
-      in.filter(might).join(knownIds, Seq(idCol), "left_anti")
-        .unionByName(in.filter(col(idCol).isNull || !might))
-    } else {
-      in.join(knownIds0, Seq(idCol), "left_anti")
-    }
-  }
-
-  /** Distributed Bloom build over the state ids: per-partition filters
-    * merged via treeAggregate. Long/int ids are inserted via putLong, all
-    * others as the UTF-8 bytes of their string cast — each matching exactly
-    * how `dedup` probes that type (BloomMightContainExpr.mightContainLong /
-    * mightContainUtf8), so builder and probe can never drift. Null state
-    * ids are skipped: a null key never matches an anti-join probe anyway,
-    * and null incoming ids bypass the bloom entirely (see dedup). */
-  private def buildBloom(ids: DataFrame, idCol: String, expected: Long,
-                         fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
-    import org.apache.spark.util.sketch.BloomFilter
-    import org.apache.spark.sql.types.{IntegerType, LongType}
-    val spark = ids.sparkSession
-    import spark.implicits._
-    val nonNull = ids.filter(col(idCol).isNotNull)
-    val zero = BloomFilter.create(math.max(1L, expected), fpp)
-    ids.schema(idCol).dataType match {
-      case LongType | IntegerType =>
-        nonNull.select(col(idCol).cast("long")).as[Long].rdd
-          .treeAggregate(zero)(
-            (f, v) => { f.putLong(v); f },
-            (a, b) => { a.mergeInPlace(b); a })
-      case _ =>
-        nonNull.select(col(idCol).cast("string")).as[String].rdd
-          .treeAggregate(zero)(
-            (f, s) => { f.putBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f },
-            (a, b) => { a.mergeInPlace(b); a })
-    }
-  }
+            knownSizeHint: Long = -1L): DataFrame =
+    StateStore.dedup(incoming, known, idCol, withinBatch, bloomPruneThreshold,
+      bloomFpp, knownSizeHint)
 
   // raw live row count, memoized per committed snapshot — see liveRowCount
   @volatile private var sizeCache: (Int, Long) = (-2, -1L)
@@ -302,5 +223,106 @@ class StateStore(val dir: String) {
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+/** Backend-agnostic dedup: the anti-join + bloom pre-prune work against ANY
+  * known-content DataFrame (snapshot store, catalog table, in-memory test
+  * fixture), so the logic lives here and both the [[StateStore]] instance
+  * method and [[StateBackend]]-driven pipelines delegate to it. */
+object StateStore {
+
+  /**
+   * Dedup: anti-join incoming rows against known content ids
+   * (SURVEY.md §2.3 J1 — the reference's `known_blobs.contains_key` probe
+   * IS a broadcast hash anti-join). While state is small Catalyst/AQE picks
+   * BroadcastHashJoin; at 10^12-scale state it degrades gracefully to a
+   * shuffled hash/sort-merge anti-join on the id — no code change.
+   */
+  def dedup(incoming: DataFrame, known: DataFrame, idCol: String = "doc_id",
+            withinBatch: Boolean = false,
+            bloomPruneThreshold: Long = 10000000L,
+            bloomFpp: Double = 0.01,
+            knownSizeHint: Long = -1L): DataFrame = {
+    // withinBatch=true also collapses duplicate ids WITHIN the incoming
+    // batch — the reference's sequential contains_key+insert drops repeats
+    // inside a run too (src/collector.rs:161). Off by default: it costs an
+    // exchange on the id, and the engine's own sources (listing scans,
+    // file batches) carry unique ids. Turn it on for sources that can
+    // repeat ids within one batch.
+    val in = if (withinBatch) incoming.dropDuplicates(idCol) else incoming
+    val knownIds0 = known.select(col("content_id").as(idCol)).distinct()
+    // BLOOM PRE-PRUNE for large states: once the state outgrows a
+    // broadcast, the anti-join becomes a sort-merge that shuffles the
+    // ENTIRE corpus — yet at steady state most rows are fresh and never
+    // match. A broadcast Bloom filter over the state ids lets definitely-
+    // fresh rows (no false negatives by construction) skip the join
+    // scan-side; only the maybe-known sliver (known fraction + fpp)
+    // shuffles. False positives just take the join path, so results are
+    // identical to the plain anti-join (StateStoreSpec pins equality).
+    // The threshold decision needs the state size: callers that already
+    // know it (Pipeline / streaming pass liveRowCount, memoized per
+    // snapshot) supply knownSizeHint so no per-call count job fires.
+    val stateSize =
+      if (bloomPruneThreshold < 0) -1L
+      else if (knownSizeHint >= 0) knownSizeHint
+      else known.count()
+    if (bloomPruneThreshold >= 0 && stateSize > bloomPruneThreshold) {
+      // one evaluation of the distinct'd state ids feeds BOTH the Bloom
+      // build and the anti-join (the build is an eager RDD action; without
+      // the checkpoint the join would re-scan + re-shuffle the state).
+      // Blocks are freed by the ContextCleaner once the result is GC'd.
+      val knownIds = knownIds0.localCheckpoint()
+      val bloom = buildBloom(knownIds, idCol, stateSize, bloomFpp)
+      // Probe in the SAME hash domain the builder inserted (putLong for
+      // long/int ids, UTF-8 bytes of the string cast otherwise) — a
+      // string-built bloom probed via mightContainLong would false-negative
+      // ~every known id and silently pass duplicates as fresh.
+      val idType = in.schema(idCol).dataType
+      val probeCol = idType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType => col(idCol)
+        case _ => col(idCol).cast("string")
+      }
+      val might = graft.functions.GraftFunctions.bloom_might_contain(probeCol, bloom)
+      // NULL ids never match an anti-join key, so the plain path KEEPS
+      // them; the bloom probe evaluates to NULL for a null id and both
+      // filter(might) and filter(!might) would silently drop the row —
+      // null ids are routed down the definitely-fresh branch explicitly.
+      in.filter(might).join(knownIds, Seq(idCol), "left_anti")
+        .unionByName(in.filter(col(idCol).isNull || !might))
+    } else {
+      in.join(knownIds0, Seq(idCol), "left_anti")
+    }
+  }
+
+  /** Distributed Bloom build over the state ids: per-partition filters
+    * merged via treeAggregate. Long/int ids are inserted via putLong, all
+    * others as the UTF-8 bytes of their string cast — each matching exactly
+    * how `dedup` probes that type (BloomMightContainExpr.mightContainLong /
+    * mightContainUtf8), so builder and probe can never drift. Null state
+    * ids are skipped: a null key never matches an anti-join probe anyway,
+    * and null incoming ids bypass the bloom entirely (see dedup). */
+  private def buildBloom(ids: DataFrame, idCol: String, expected: Long,
+                         fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
+    import org.apache.spark.util.sketch.BloomFilter
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val nonNull = ids.filter(col(idCol).isNotNull)
+    val zero = BloomFilter.create(math.max(1L, expected), fpp)
+    ids.schema(idCol).dataType match {
+      case LongType | IntegerType =>
+        nonNull.select(col(idCol).cast("long")).as[Long].rdd
+          .treeAggregate(zero)(
+            (f, v) => { f.putLong(v); f },
+            (a, b) => { a.mergeInPlace(b); a })
+      case _ =>
+        nonNull.select(col(idCol).cast("string")).as[String].rdd
+          .treeAggregate(zero)(
+            (f, s) => { f.putBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f },
+            (a, b) => { a.mergeInPlace(b); a })
+    }
   }
 }
