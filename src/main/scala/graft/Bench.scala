@@ -126,6 +126,21 @@ object Bench {
     }
     queries("ann_ivf_top1") = queries("ann_ivf_build") + queries("ann_ivf_probe")
     ivfIndex.unpersist()
+    // hierarchical (two-level) IVF at ~the same total cell count: the
+    // driver holds only ~sqrt(cells) coarse centroids — the quantizer
+    // shape that survives a 10^9-vector corpus (flat centroids cap at the
+    // ~100 MB broadcast contract)
+    var hierIdx: SimilarityOps.HierIvfIndex = null
+    val hierCoarse = math.max(4, math.sqrt(ivfCentroids.toDouble).ceil.toInt)
+    queries("ann_hier_ivf_build") = time {
+      hierIdx = SimilarityOps.buildHierIvfIndex(t("embeddings"), "vec_id",
+        "embedding", hierCoarse, hierCoarse).materialize()
+    }
+    queries("ann_hier_ivf_probe") = time2 {
+      SimilarityOps.hierIvfProbe(hierIdx, t("embeddings"), "vec_id", "embedding",
+        1, 4, 8).count()
+    }
+    hierIdx.unpersist()
     queries("dedup_exact") = time2 {
       DedupOps.exactDedup(t("documents"), Seq("text"), "doc_id").count()
     }
@@ -165,16 +180,14 @@ object Bench {
         .groupBy("c_mktsegment").agg(count(lit(1))).count()
     }
 
-    // ---- dedup at an activating (>10M-row) state size -------------------
-    // The Bloom pre-prune path of StateStore.dedup vs the plain anti-join,
-    // at a state size (12M ids) past both the broadcast-join and the
-    // bloomPruneThreshold cutoffs. Incoming = 4M full-width sequence rows,
-    // 25% already known (doc ids 3M-4M overlap the state's 3M-15M) — the
-    // steady-state regime the prune targets, where most rows are fresh and
-    // the plain path shuffles them all for nothing. The bloom timing
-    // includes EVERYTHING its path costs: the state count, the knownIds
-    // checkpoint, the treeAggregate filter build and both complementary
-    // incoming scans.
+    // ---- dedup at a >10M-row state: bloom prune vs plain anti-join ------
+    // State = 12M ids (past any broadcast), incoming = 4M full-width rows,
+    // 25% already known. The bloom timing includes EVERYTHING its path
+    // costs: the state count, the treeAggregate filter build and both
+    // complementary incoming scans. On this box the PLAIN join wins —
+    // local shuffles are memcpy-speed while the filter build is a fixed
+    // ~2 s — which is exactly why the prune is opt-in (see StateStore.dedup
+    // scaladoc and BASELINE.md for the regime where it pays).
     locally {
       val stateN = 12000000L
       val inN = 4000000L
@@ -183,10 +196,10 @@ object Bench {
       def incoming = DataGen.sequences(spark, inN, cpus * 2)
       val st = new StateStore("bench-dedup-state-never-touched")
       queries("dedup_large_state_bloom") = time2 {
-        st.dedup(incoming, knownDf).count()
+        st.dedup(incoming, knownDf, bloomPruneThreshold = 10000000L).count()
       }
       queries("dedup_large_state_plain") = time2 {
-        st.dedup(incoming, knownDf, bloomPruneThreshold = -1L).count()
+        st.dedup(incoming, knownDf).count()
       }
     }
 

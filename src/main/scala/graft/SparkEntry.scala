@@ -302,6 +302,17 @@ object SparkEntry {
           Map("en" -> 500, "de" -> 250, "zh" -> 100), defaultPerMille = 1000)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    "q_decontaminate" -> ((s, d) => {
+      // GPT-3-style test-set decontamination: docs sharing any word bigram
+      // with a (deterministic pseudo-)eval subset, with distinct-overlap
+      // counts; the eval side broadcasts, the corpus never shuffles
+      val docs = t(s, d, "documents")
+      TrainingOps.decontaminate(
+          docs.filter(pmod(col("doc_id"), lit(97)) =!= 0), "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0), "text", n = 2)
+        .orderBy("id")
+    }),
+
     "q_pack_sequences" -> ((s, d) =>
       // GPT-style packing: per-source token offsets + training-chunk range
       TrainingOps.packSequences(
@@ -862,6 +873,14 @@ object SparkEntry {
            CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'zh' THEN 100
                      ELSE 1000 END
          ORDER BY doc_id""",
+    "q_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+         s AS (SELECT doc_id, ${shingleSetSql("ws")} AS sh FROM w),
+         ts AS (SELECT DISTINCT unnest(sh) AS tok FROM s WHERE doc_id % 97 = 0),
+         ex AS (SELECT doc_id AS id, unnest(sh) AS tok FROM s WHERE doc_id % 97 <> 0)
+         SELECT id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM ex JOIN ts USING (tok)
+         GROUP BY id ORDER BY id""",
     "q_pack_sequences" ->
       """WITH n AS (SELECT doc_id, source,
            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok

@@ -316,6 +316,153 @@ object SimilarityOps {
     ivfProbe(index, corpus, idCol, vecCol, k, nProbe)
   }
 
+  /**
+   * Two-level (hierarchical) IVF index — lifts the flat quantizer's
+   * broadcast ceiling. The flat contract caps driver-held centroids at
+   * ~100 MB (nCentroids × dim × 4B); with 10^9+ vectors the standard
+   * ~sqrt(n) sizing blows past it. Here the driver holds ONLY the
+   * `nCoarse` level-1 centroids (sqrt-scale: ~nCoarse × dim floats), while
+   * the nCoarse × nFinePerCell level-2 centroids live in a DISTRIBUTED
+   * table keyed on the coarse cell id — they are never collected,
+   * broadcast, or embedded in codegen. Assignment is coarse-kernel (narrow,
+   * nCoarse comparisons) then a hash join on ccid against the fine table
+   * (nFinePerCell comparisons inside the join projection): k total cells
+   * at 2·sqrt(k) comparisons per row and a sqrt(k)-sized driver footprint.
+   *
+   *  - `coarse`: level-1 centroids, driver-held (same contract as IvfIndex)
+   *  - `fine`:   (ccid, fcid, fv) — the level-2 quantizer, a DataFrame
+   *  - `homed`:  (ccid, fcid, neighbor_id, cv2) — the inverted file, keyed
+   *              on the FULL two-level cell id
+   */
+  final case class HierIvfIndex(coarse: Array[(Long, Array[Float])],
+                                fine: DataFrame, homed: DataFrame) {
+    /** Force materialization (so probe timings never pay build cost). */
+    def materialize(): HierIvfIndex = { fine.count(); homed.count(); this }
+    def unpersist(): Unit = { fine.unpersist(); homed.unpersist(); () }
+  }
+
+  /**
+   * Build the two-level index. Level 1 is the flat k-means coarse
+   * quantizer. Level 2 initializes each cell's sub-centroids from a
+   * deterministic hash-spread of the cell's own points, then runs
+   * `refineIters` DISTRIBUTED Lloyd rounds: assignment is a join on ccid
+   * over a hash-selected training sample (fan-out bounded at sample ×
+   * nFinePerCell — never corpus × k), the mean update a per-(cell, dim)
+   * aggregate. The one corpus-wide shuffle is the homed layout itself —
+   * the inverted file's partitioning, which any IVF build pays.
+   */
+  def buildHierIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                        nCoarse: Int, nFinePerCell: Int,
+                        kmeansIters: Int = 2, refineIters: Int = 1,
+                        nHome: Int = 2, persist: Boolean = true): HierIvfIndex = {
+    require(nCoarse > 0 && nFinePerCell > 0 && refineIters >= 0)
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val coarse = kmeansCentroids(vecs, nCoarse, kmeansIters).collect()
+      .map(r => (idLong(r, 0), vecFloats(r, 1))).sortBy(_._1)
+    if (coarse.isEmpty) {
+      val empty = vecs.filter(lit(false))
+      return HierIvfIndex(coarse,
+        empty.select(lit(0L).as("ccid"), lit(0L).as("fcid"), col("v").as("fv")),
+        empty.select(lit(0L).as("ccid"), lit(0L).as("fcid"),
+          col("id").as("neighbor_id"), col("v").as("cv2")))
+    }
+    // fine training runs over a hash-spread sample (~64 points per fine
+    // cell), like the coarse k-means — the full corpus never joins the
+    // fine table until the homed layout at the end
+    val mod = 1000000L
+    val n = vecs.count()
+    val target = math.min(n, 64L * nCoarse.toLong * nFinePerCell)
+    val thresh = if (n == 0) mod else math.min(mod, mod * target / n + 1)
+    val sample = vecs
+      .filter(pmod(xxhash64(col("id"), lit(23)), lit(mod)) < thresh)
+      .select(col("id"), col("v"),
+        get(graft.functions.GraftFunctions.nearest_centroids(
+          col("v"), coarse.toSeq, 1), lit(0)).as("ccid"))
+      .filter(col("ccid").isNotNull)
+      .localCheckpoint()
+    // init: up to nFinePerCell hash-ranked points per coarse cell ARE the
+    // initial sub-centroids (k-means++-ish spread without extra passes)
+    val wInit = Window.partitionBy("ccid")
+      .orderBy(pmod(xxhash64(col("id"), lit(53)), lit(mod)), col("id"))
+    var fine = sample.withColumn("__r", row_number().over(wInit))
+      .filter(col("__r") <= nFinePerCell)
+      .select(col("ccid"), (col("__r") - 1).cast("long").as("fcid"),
+        col("v").cast("array<float>").as("fv"))
+      .localCheckpoint()
+    for (_ <- 1 to refineIters) {
+      val asg = sample.join(fine, Seq("ccid"))
+        .withColumn("fsim", cosineFast(col("v").cast("array<float>"), col("fv")))
+      val wBest = Window.partitionBy("ccid", "id")
+        .orderBy(col("fsim").desc, col("fcid"))
+      val best = asg.withColumn("__rn", row_number().over(wBest))
+        .filter(col("__rn") === 1)
+        .select(col("ccid"), col("fcid"), col("v"))
+      // per-(cell, dim) means → re-assembled sub-centroid vectors; cells
+      // that lose every point drop out (the probe just skips them)
+      fine = best
+        .select(col("ccid"), col("fcid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("ccid", "fcid", "pos").agg(avg("x").as("m"))
+        .groupBy("ccid", "fcid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("ccid"), col("fcid"),
+          transform(col("pm"), s => s.getField("m")).cast("array<float>").as("fv"))
+        .localCheckpoint()
+    }
+    // inverted file keyed on the full (ccid, fcid) cell: nHome coarse homes
+    // per vector (boundary replication, as in the flat build), nearest fine
+    // list within each home
+    val homedCoarse = vecs.select(
+      explode(graft.functions.GraftFunctions.nearest_centroids(
+        col("v"), coarse.toSeq, nHome)).as("ccid"),
+      col("id").as("neighbor_id"), col("v").as("cv2"))
+    val wHome = Window.partitionBy("ccid", "neighbor_id")
+      .orderBy(col("hsim").desc, col("fcid"))
+    val homed0 = homedCoarse.join(fine, Seq("ccid"))
+      .withColumn("hsim", cosineFast(col("cv2").cast("array<float>"), col("fv")))
+      .withColumn("__rn", row_number().over(wHome))
+      .filter(col("__rn") === 1)
+      .select("ccid", "fcid", "neighbor_id", "cv2")
+    val homed = if (persist) homed0.persist() else homed0
+    val fineOut = if (persist) fine.persist() else fine
+    HierIvfIndex(coarse, fineOut, homed)
+  }
+
+  /**
+   * Probe the two-level index: `nProbeCoarse` nearest coarse cells via the
+   * driver-held kernel (narrow), then the `nProbeFine` best fine lists
+   * among them via a join on ccid (the fine table is distributed — no
+   * broadcast of the full quantizer anywhere), then exact cosine over the
+   * visited posting lists. Output shape matches ivfProbe/bruteForceTopK.
+   */
+  def hierIvfProbe(index: HierIvfIndex, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nProbeCoarse: Int,
+                   nProbeFine: Int): DataFrame = {
+    if (index.coarse.isEmpty)
+      return queries.filter(lit(false)).select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(1).as("rank"))
+    val qprobes = queries.select(
+      explode(graft.functions.GraftFunctions.nearest_centroids(
+        col(vecCol), index.coarse.toSeq, nProbeCoarse)).as("ccid"),
+      col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("fsim").desc, col("ccid"), col("fcid"))
+    val lists = qprobes.join(index.fine, Seq("ccid"))
+      .withColumn("fsim", cosineFast(col("qv").cast("array<float>"), col("fv")))
+      .withColumn("__rf", row_number().over(wf))
+      .filter(col("__rf") <= nProbeFine)
+      .select("query_id", "qv", "ccid", "fcid")
+    val scored = lists.join(index.homed, Seq("ccid", "fcid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // score inside the join, dedup (ids, sim) scalars — same shape
+      // rationale as ivfProbe
+      .withColumn("sim", cosineFast(col("qv"), col("cv2")))
+      .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Signature width that targets `targetOccupancy` vectors per bucket:
     * 2^bits ≈ n / target. The bucket-local self-join is quadratic in
     * occupancy, so a FIXED bits at growing n is a disguised near-cartesian

@@ -102,6 +102,35 @@ object TrainingOps {
   }
 
   /**
+   * Test-set decontamination (the GPT-3 appendix-C approach): flag corpus
+   * documents sharing any word n-gram with an evaluation set, so they can
+   * be dropped before training — leaving eval prompts in the corpus
+   * silently inflates benchmark scores. Returns (id, n_hits): every
+   * contaminated doc with its count of DISTINCT overlapping n-grams
+   * (shingle_hashes emits duplicate-free sets, so the count is exactly
+   * |doc shingles ∩ eval shingles|). Docs with zero overlap are absent —
+   * anti-join the result to get the clean corpus.
+   *
+   * Scale shape: the eval set is SMALL (thousands of prompts, not the
+   * corpus), so its distinct shingles broadcast; the corpus side computes
+   * shingles scan-side (codegen), probes the broadcast in-stage, and only
+   * (id, count) partial aggregates ever reach an exchange. The corpus is
+   * scanned once and never shuffled.
+   */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    testSet: DataFrame, testTextCol: String, n: Int): DataFrame = {
+    val testShingles = testSet.select(
+        explode(graft.functions.GraftFunctions.shingle_hashes(col(testTextCol), n))
+          .as("tok"))
+      .distinct()
+    corpus.select(col(idCol).as("id"),
+        explode(graft.functions.GraftFunctions.shingle_hashes(col(textCol), n))
+          .as("tok"))
+      .join(broadcast(testShingles), Seq("tok"))
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /**
    * GPT-style sequence packing: documents are concatenated per shard (the
    * `shardCol` — source, language, whatever the trainer shards on) in
    * doc-id order, and chunked into fixed `capacity`-token training

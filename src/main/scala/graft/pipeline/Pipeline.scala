@@ -65,7 +65,12 @@ object Pipeline {
     // says — e.g. CatalogStateBackend("cat.db.known_content") for an
     // Iceberg/Delta (or plain session-catalog) table. The dedup anti-join,
     // commit ordering and run stats are identical across backends.
-    stateBackend: Option[StateBackend] = None)
+    stateBackend: Option[StateBackend] = None,
+    // Opt-in scan-side Bloom pre-prune of the dedup anti-join once the
+    // state exceeds this many rows (-1 = off, the measured default — see
+    // StateStore.dedup: the filter build only pays for itself when the
+    // avoided incoming exchange is network-bound).
+    bloomPruneThreshold: Long = -1L)
 
   case class Result(stats: RunStats, snapshot: Option[Int])
 
@@ -103,7 +108,9 @@ object Pipeline {
         // can never re-fire one
         StateStore.dedup(sequences, backend.load(spark, cfg.nowEpochSec),
           withinBatch = cfg.dedupWithinRun,
-          knownSizeHint = backend.sizeHint(spark))
+          bloomPruneThreshold = cfg.bloomPruneThreshold,
+          knownSizeHint =
+            if (cfg.bloomPruneThreshold >= 0) backend.sizeHint(spark) else -1L)
       else if (cfg.dedupWithinRun) sequences.dropDuplicates("doc_id")
       else sequences
 

@@ -132,7 +132,7 @@ class StateStore(val dir: String) {
    */
   def dedup(incoming: DataFrame, known: DataFrame, idCol: String = "doc_id",
             withinBatch: Boolean = false,
-            bloomPruneThreshold: Long = 10000000L,
+            bloomPruneThreshold: Long = -1L,
             bloomFpp: Double = 0.01,
             knownSizeHint: Long = -1L): DataFrame =
     StateStore.dedup(incoming, known, idCol, withinBatch, bloomPruneThreshold,
@@ -241,7 +241,7 @@ object StateStore {
    */
   def dedup(incoming: DataFrame, known: DataFrame, idCol: String = "doc_id",
             withinBatch: Boolean = false,
-            bloomPruneThreshold: Long = 10000000L,
+            bloomPruneThreshold: Long = -1L,
             bloomFpp: Double = 0.01,
             knownSizeHint: Long = -1L): DataFrame = {
     // withinBatch=true also collapses duplicate ids WITHIN the incoming
@@ -252,7 +252,7 @@ object StateStore {
     // repeat ids within one batch.
     val in = if (withinBatch) incoming.dropDuplicates(idCol) else incoming
     val knownIds0 = known.select(col("content_id").as(idCol)).distinct()
-    // BLOOM PRE-PRUNE for large states: once the state outgrows a
+    // BLOOM PRE-PRUNE (opt-in) for large states: once the state outgrows a
     // broadcast, the anti-join becomes a sort-merge that shuffles the
     // ENTIRE corpus — yet at steady state most rows are fresh and never
     // match. A broadcast Bloom filter over the state ids lets definitely-
@@ -260,6 +260,17 @@ object StateStore {
     // scan-side; only the maybe-known sliver (known fraction + fpp)
     // shuffles. False positives just take the join path, so results are
     // identical to the plain anti-join (StateStoreSpec pins equality).
+    //
+    // OFF by default (threshold -1) because it is a measured trade, not a
+    // free win: the build costs one state scan + ~k hash inserts per id +
+    // a filter-sized merge (12M-id state → 14 MB filter, ~2.0 s at
+    // local[32] — 17% faster than Spark's own df.stat.bloomFilter), and on
+    // a single box whose shuffles are memcpy-speed that build never pays
+    // for itself (measured: plain 2.3-2.5 s vs bloom 5.1-7.2 s at 4M-16M
+    // incoming × 12M state; BASELINE.md round-4 table). Enable it where an
+    // exchange is genuinely expensive — network-bound clusters shuffling
+    // hundreds of GB of incoming against a 10M..1B-id state — by setting
+    // bloomPruneThreshold to the state size above which pruning wins there.
     // The threshold decision needs the state size: callers that already
     // know it (Pipeline / streaming pass liveRowCount, memoized per
     // snapshot) supply knownSizeHint so no per-call count job fires.
@@ -268,12 +279,15 @@ object StateStore {
       else if (knownSizeHint >= 0) knownSizeHint
       else known.count()
     if (bloomPruneThreshold >= 0 && stateSize > bloomPruneThreshold) {
-      // one evaluation of the distinct'd state ids feeds BOTH the Bloom
-      // build and the anti-join (the build is an eager RDD action; without
-      // the checkpoint the join would re-scan + re-shuffle the state).
-      // Blocks are freed by the ContextCleaner once the result is GC'd.
-      val knownIds = knownIds0.localCheckpoint()
-      val bloom = buildBloom(knownIds, idCol, stateSize, bloomFpp)
+      // The Bloom is built from the RAW state ids — duplicate inserts are
+      // harmless to a Bloom filter, so the build is a pure narrow scan +
+      // treeAggregate: no distinct shuffle, no checkpoint materialization.
+      // (A first cut distinct'd + localCheckpoint'd the ids for the build
+      // and it dominated the whole path: ~8 s of the 9.9 s measured at a
+      // 12M-row state.) The join below keeps the lazy distinct projection,
+      // which it evaluates exactly once.
+      val bloom = buildBloom(known.select(col("content_id").as(idCol)),
+        idCol, stateSize, bloomFpp)
       // Probe in the SAME hash domain the builder inserted (putLong for
       // long/int ids, UTF-8 bytes of the string cast otherwise) — a
       // string-built bloom probed via mightContainLong would false-negative
@@ -290,7 +304,7 @@ object StateStore {
       // them; the bloom probe evaluates to NULL for a null id and both
       // filter(might) and filter(!might) would silently drop the row —
       // null ids are routed down the definitely-fresh branch explicitly.
-      in.filter(might).join(knownIds, Seq(idCol), "left_anti")
+      in.filter(might).join(knownIds0, Seq(idCol), "left_anti")
         .unionByName(in.filter(col(idCol).isNull || !might))
     } else {
       in.join(knownIds0, Seq(idCol), "left_anti")
@@ -310,7 +324,18 @@ object StateStore {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val spark = ids.sparkSession
     import spark.implicits._
-    val nonNull = ids.filter(col(idCol).isNotNull)
+    // Cap build parallelism: every partition allocates (and later
+    // serializes + merges) a full expected-size filter — at a 12M-row
+    // state that is 14 MB PER PARTITION, and 32 partitions put ~450 MB
+    // through the merge for a scan whose insert work is trivial. ~4M
+    // inserts per task keeps the scan parallel enough while the merge
+    // traffic stays at a handful of filters. (The pre-prune regime is
+    // mid-size states — 10M..1B ids, filter 14 MB..1.4 GB; beyond that the
+    // filter itself is the bottleneck and partitioned join pruning, not a
+    // single Bloom, is the right tool.)
+    val parts = math.max(4, math.min(ids.rdd.getNumPartitions,
+      (expected / 4000000L).toInt + 1))
+    val nonNull = ids.filter(col(idCol).isNotNull).coalesce(parts)
     val zero = BloomFilter.create(math.max(1L, expected), fpp)
     ids.schema(idCol).dataType match {
       case LongType | IntegerType =>

@@ -69,11 +69,16 @@ object StreamingPipeline {
         if (!java.nio.file.Files.exists(marker)) {
           val fresh =
             if (cfg.skipKnownLogs)
-              // liveRowCount memoizes per snapshot + counts only new deltas
-              // after each commit — no full state count per micro-batch
+              // when the (opt-in) bloom prune is on, its threshold decision
+              // reads liveRowCount — memoized per snapshot + counting only
+              // new deltas after each commit, so no full state count per
+              // micro-batch
               state.dedup(batch, state.load(spark, cfg.nowEpochSec),
                 withinBatch = cfg.dedupWithinRun,
-                knownSizeHint = state.liveRowCount(spark))
+                bloomPruneThreshold = cfg.bloomPruneThreshold,
+                knownSizeHint =
+                  if (cfg.bloomPruneThreshold >= 0) state.liveRowCount(spark)
+                  else -1L)
             else if (cfg.dedupWithinRun) batch.dropDuplicates("doc_id")
             else batch
           val replayAfterStateCommit =

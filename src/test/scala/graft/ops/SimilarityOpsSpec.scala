@@ -139,6 +139,42 @@ class SimilarityOpsSpec extends SparkSuite {
       k = 1, nCentroids = 8, nProbe = 4).count() === 0)
   }
 
+  test("hierarchical IVF: sqrt-scale driver footprint, fine quantizer distributed, recall floor holds") {
+    // VERDICT r3 #8: the flat quantizer's centroid contract caps at a
+    // ~100 MB broadcast; the two-level build holds only nCoarse centroids
+    // on the driver while the nCoarse × nFinePerCell fine cells live in a
+    // DataFrame. Pin the structure, then the recall floor vs exact top-1.
+    val idx = SimilarityOps.buildHierIvfIndex(emb, "vec_id", "embedding",
+      nCoarse = 8, nFinePerCell = 8).materialize()
+    try {
+      assert(idx.coarse.length <= 8, "driver footprint must stay at nCoarse")
+      val fineCells = idx.fine.count()
+      assert(fineCells > idx.coarse.length,
+        s"fine quantizer ($fineCells cells) must extend beyond the coarse level")
+      // every homed row carries a full two-level cell key
+      assert(idx.homed.filter(col("ccid").isNull || col("fcid").isNull).count() === 0)
+      val got = SimilarityOps.hierIvfProbe(idx, emb, "vec_id", "embedding",
+          k = 1, nProbeCoarse = 4, nProbeFine = 16)
+        .filter(col("rank") === 1).as[(Long, Long, Int)].collect()
+        .map(r => (r._1, r._2)).toMap
+      val hits = got.count { case (q, n) => bruteTop1.get(q).contains(n) }
+      val recall = hits.toDouble / bruteTop1.size
+      info(s"hier-IVF top-1 recall at 8x8 cells, probe 4 coarse / 16 fine: $recall")
+      assert(recall >= 0.7, s"recall $recall below the 0.7 floor")
+      // ANN answers are real non-self pairs
+      assert(got.forall { case (q, n) => q != n })
+    } finally idx.unpersist()
+  }
+
+  test("hierarchical IVF: empty corpus yields an empty index and empty probes") {
+    val empty = emb.filter(lit(false))
+    val idx = SimilarityOps.buildHierIvfIndex(empty, "vec_id", "embedding",
+      nCoarse = 4, nFinePerCell = 4, persist = false)
+    assert(idx.coarse.isEmpty)
+    assert(SimilarityOps.hierIvfProbe(idx, emb, "vec_id", "embedding",
+      k = 1, nProbeCoarse = 2, nProbeFine = 4).count() === 0)
+  }
+
   test("occupancyBits keeps the quadratic bucket-local join bounded as n grows") {
     // expected uniform occupancy n / 2^bits never exceeds the target …
     for (n <- Seq(100L, 1000L, 10000L, 1000000L, 100000000L)) {

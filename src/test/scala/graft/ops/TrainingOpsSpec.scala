@@ -30,6 +30,32 @@ class TrainingOpsSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("decontaminate: planted eval overlap is flagged with exact distinct-ngram counts") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // contains eval bigrams
+      (2L, "completely unrelated text about spark plans"),   // clean
+      (3L, "quick brown paint dries fast and quick brown"),  // 1 distinct shared bigram
+      (4L, "")                                               // empty doc, clean
+    ).toDF("doc_id", "text")
+    val evalSet = Seq("the quick brown fox").toDF("prompt")
+    val got = TrainingOps.decontaminate(corpus, "doc_id", "text", evalSet, "prompt", 2)
+      .as[(Long, Long)].collect().toMap
+    // eval bigrams: {the quick, quick brown, brown fox} — doc 1 shares all
+    // 3, doc 3 shares exactly {quick brown} once (distinct), docs 2/4 clean
+    assert(got === Map(1L -> 3L, 3L -> 1L))
+    // the clean corpus is the anti-join of the result
+    val clean = corpus.join(
+      TrainingOps.decontaminate(corpus, "doc_id", "text", evalSet, "prompt", 2)
+        .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+    assert(clean.select("doc_id").as[Long].collect().sorted === Array(2L, 4L))
+    // scale shape: the eval shingles broadcast; the corpus side reaches the
+    // join without an exchange (only the final per-doc count shuffles)
+    val plan = TrainingOps.decontaminate(docs, "doc_id", "text",
+        docs.limit(5), "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$plan")
+  }
+
   test("packSequences: offsets and chunk ranges, straddling chunk boundaries") {
     val df = Seq(
       (1L, 3L, "g"), (2L, 5L, "g"), (3L, 2L, "g"), // shard g: offsets 0,3,8
