@@ -188,11 +188,16 @@ object Bench {
     // local shuffles are memcpy-speed while the filter build is a fixed
     // ~2 s — which is exactly why the prune is opt-in (see StateStore.dedup
     // scaladoc and BASELINE.md for the regime where it pays).
-    locally {
+    graft.util.Scratch.withTempDir("bench_state") { stateDir =>
       val stateN = 12000000L
       val inN = 4000000L
-      def knownDf = spark.range(3000000L, 3000000L + stateN)
+      // parquet-backed state — the real shape; a generated lineage would
+      // re-derive 12M formatted strings on every evaluation and charge the
+      // generator, not the operator
+      spark.range(3000000L, 3000000L + stateN)
         .select(format_string("doc-%012d", col("id")).as("content_id"))
+        .write.mode("overwrite").parquet(stateDir)
+      def knownDf = spark.read.parquet(stateDir)
       def incoming = DataGen.sequences(spark, inN, cpus * 2)
       val st = new StateStore("bench-dedup-state-never-touched")
       queries("dedup_large_state_bloom") = time2 {

@@ -83,8 +83,30 @@ object DumpPlans {
         "Candidates come from a join keyed on (block, prefix-shingle) — " +
         "each doc explodes only its hash-sorted prefix, so the quadratic " +
         "in-block self-join is gone; the size band prunes inside the join; " +
-        "shingle arrays join back per surviving pair for the fused verify.",
+        "shingle arrays join back per surviving pair for the fused verify. " +
+        "The shingle projection is localCheckpoint'd ONCE: the downstream " +
+        "plan reads 'Scan ExistingRDD' and contains zero shingle kernels " +
+        "(single-scan contract, DedupOpsSpec).",
         DedupOps.ngramJaccardPairs(t("documents"), "doc_id", "text", "lang", 2, 55)),
+      ("Hierarchical IVF probe (two-level quantizer, fine table distributed)",
+        "Coarse cells via the driver-held kernel (narrow, sqrt-scale " +
+        "footprint); fine lists via a hash join on ccid against the " +
+        "DISTRIBUTED fine-centroid table — the full quantizer is never " +
+        "broadcast or embedded, lifting the flat index's ~100 MB ceiling; " +
+        "cosine inside the candidate join, (ids, sim) scalars downstream.",
+        {
+          val idx = SimilarityOps.buildHierIvfIndex(t("embeddings"), "vec_id",
+            "embedding", nCoarse = 4, nFinePerCell = 4, persist = false)
+          SimilarityOps.hierIvfProbe(idx, t("embeddings"), "vec_id", "embedding",
+            k = 1, nProbeCoarse = 2, nProbeFine = 4)
+        }),
+      ("Test-set decontamination (eval n-gram overlap)",
+        "Eval shingles BROADCAST (the small side by construction); corpus " +
+        "shingles are computed scan-side and probe the broadcast in-stage — " +
+        "the corpus is scanned once and never shuffled; only (id, count) " +
+        "partial aggregates reach the final exchange.",
+        TrainingOps.decontaminate(t("documents"), "doc_id", "text",
+          t("documents").limit(50), "text", 2)),
       ("Pushdown + pruning (filter and projection reach the parquet scan)",
         "PushedFilters and a pruned ReadSchema on the FileScan node.",
         t("lineitem").filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")))
