@@ -30,7 +30,43 @@ object PerfLab {
     case "parseab" => parseAb()
     case "ngramab" => ngramAb()
     case "cond"    => cond()
+    case "sinkab"  => sinkAb()
     case other     => sys.error(s"unknown mode $other")
+  }
+
+  /** A/B the sink-write I/O knobs on the full pipeline: output committer
+    * v1 vs v2 (v1 serializes task-file renames on the driver at job
+    * commit; v2 renames in the tasks) × parquet codec snappy vs lz4.
+    * INTERLEAVED rounds (a,b,c,d),(a,b,c,d),... so all variants sample the
+    * same contention epochs; best-of per variant. */
+  private def sinkAb(): Unit = {
+    val variants = Seq(
+      "v1_snappy" -> Seq(),
+      "v2_snappy" -> Seq(
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "2"),
+      "v1_lz4" -> Seq("spark.sql.parquet.compression.codec" -> "lz4"),
+      "v2_lz4" -> Seq(
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "2",
+        "spark.sql.parquet.compression.codec" -> "lz4"))
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (round <- 1 to 3; (name, confs) <- variants) {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      val b = GraftSession.builder("local[32]", 32, s"sinkab-$name")
+      confs.foreach { case (k, v) => b.config(k, v) }
+      val spark = b.getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      graft.util.Scratch.withTempDir("perfab_warm") { w =>
+        Pipeline.run(spark, DataGen.sequences(spark, 10000L, 8), w) // warm
+      }
+      val t = graft.util.Scratch.withTempDir("perfab") { out =>
+        time(Pipeline.run(spark, DataGen.sequences(spark, 1000000L, 64), out))
+      }
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      println(f"ROUND $round $name%-10s $t%6.2f best=${best(name)}%6.2f")
+      spark.stop()
+    }
+    best.foreach { case (n, t) => println(f"SINKAB $n%-10s $t%6.2f s") }
   }
 
   private def stages(): Unit = {
