@@ -408,6 +408,20 @@ object SimilarityOps {
           transform(col("pm"), s => s.getField("m")).cast("array<float>").as("fv"))
         .localCheckpoint()
     }
+    // Every coarse cell is GUARANTEED a fine list: the coarse centroid
+    // itself joins the fine table as sub-centroid fcid = -1. Without it, a
+    // cell whose points all missed the hash sample would have no fine rows,
+    // and the inner joins below would silently drop every vector homed
+    // there from the inverted file — unreachable neighbors, invisible
+    // recall loss. With it, sparse cells degrade to one coarse-grained
+    // list instead of vanishing. (nCoarse rows — a LocalRelation union.)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarseAsFine = coarse.toSeq
+      .map { case (cid, cv) => (cid, -1L, cv.toSeq) }
+      .toDF("ccid", "fcid", "fv")
+      .select(col("ccid"), col("fcid"), col("fv").cast("array<float>").as("fv"))
+    val fineAll = fine.unionByName(coarseAsFine)
     // inverted file keyed on the full (ccid, fcid) cell: nHome coarse homes
     // per vector (boundary replication, as in the flat build), nearest fine
     // list within each home
@@ -417,13 +431,13 @@ object SimilarityOps {
       col("id").as("neighbor_id"), col("v").as("cv2"))
     val wHome = Window.partitionBy("ccid", "neighbor_id")
       .orderBy(col("hsim").desc, col("fcid"))
-    val homed0 = homedCoarse.join(fine, Seq("ccid"))
+    val homed0 = homedCoarse.join(fineAll, Seq("ccid"))
       .withColumn("hsim", cosineFast(col("cv2").cast("array<float>"), col("fv")))
       .withColumn("__rn", row_number().over(wHome))
       .filter(col("__rn") === 1)
       .select("ccid", "fcid", "neighbor_id", "cv2")
     val homed = if (persist) homed0.persist() else homed0
-    val fineOut = if (persist) fine.persist() else fine
+    val fineOut = if (persist) fineAll.persist() else fineAll
     HierIvfIndex(coarse, fineOut, homed)
   }
 

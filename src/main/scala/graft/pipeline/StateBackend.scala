@@ -78,7 +78,25 @@ final class CatalogStateBackend(
     val table: String,
     val format: String = CatalogStateBackend.defaultFormat) extends StateBackend {
 
+  // Committed version, memoized per backend instance: read from the table
+  // ONCE (first use), incremented locally afterwards — a per-commit
+  // max(snapshot_id) scan would make commit O(state) instead of O(batch).
+  // Single-writer assumption, same as the snapshot store's pointer file;
+  // concurrent writers belong to the table format's own transaction layer
+  // (Iceberg/Delta), not this seam. -2 = not yet read, -1 = empty table.
+  @volatile private var lastVersion: Int = -2
+
   private def exists(spark: SparkSession): Boolean = spark.catalog.tableExists(table)
+
+  private def version(spark: SparkSession): Int = {
+    if (lastVersion == -2) {
+      lastVersion =
+        if (!exists(spark)) -1
+        else spark.table(table)
+          .agg(coalesce(max("snapshot_id"), lit(-1))).head().getInt(0)
+    }
+    lastVersion
+  }
 
   private def emptyState(spark: SparkSession): DataFrame =
     spark.createDataFrame(java.util.Collections.emptyList[Row](), Schemas.knownContent)
@@ -90,32 +108,38 @@ final class CatalogStateBackend(
 
   def commit(spark: SparkSession, ids: DataFrame, idCol: String,
              expirationEpochSec: Long, commitEpochSec: Long): Long = {
-    val tableExists = exists(spark)
-    val next =
-      if (!tableExists) 0
-      else spark.table(table)
-        .agg(coalesce(max("snapshot_id"), lit(-1))).head().getInt(0) + 1
+    val next = version(spark) + 1
     val rows = ids.select(
       col(idCol).cast("string").as("content_id"),
       timestamp_seconds(lit(expirationEpochSec)).as("expiration"),
       timestamp_seconds(lit(commitEpochSec)).as("committed_at"),
       spark_partition_id().as("partition_id"),
       lit(next).as("snapshot_id"))
+    // The table is PARTITIONED on snapshot_id — each commit is one new
+    // partition directory (the catalog analog of a snapshot delta dir), so
+    // the committed-count below prunes to the just-written partition's
+    // footers: O(batch), not O(state).
     // Lakehouse formats register V2 tables → the V2 writer. The parquet
     // fallback lands in the session catalog as a V1 table, where Spark
     // rejects V2 appends (writeIntoV1TableNotAllowedError) — the V1
     // saveAsTable(Append) is the supported path there and creates the
     // table on first commit.
     if (format == "parquet")
-      rows.write.format(format).mode("append").saveAsTable(table)
-    else if (tableExists) rows.writeTo(table).append()
-    else rows.writeTo(table).using(format).create()
+      rows.write.format(format).partitionBy("snapshot_id")
+        .mode("append").saveAsTable(table)
+    else if (exists(spark)) rows.writeTo(table).append()
+    else rows.writeTo(table).using(format)
+      .partitionedBy(col("snapshot_id")).create()
+    lastVersion = next
     spark.table(table).filter(col("snapshot_id") === next).count()
   }
 
   /** Raw table row count — metadata-cheap for parquet/Iceberg tables. */
   override def sizeHint(spark: SparkSession): Long =
     if (!exists(spark)) 0L else spark.table(table).count()
+
+  override def currentVersion: Option[Int] =
+    if (lastVersion >= 0) Some(lastVersion) else None
 }
 
 object CatalogStateBackend {

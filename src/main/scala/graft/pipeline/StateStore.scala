@@ -278,7 +278,23 @@ object StateStore {
       if (bloomPruneThreshold < 0) -1L
       else if (knownSizeHint >= 0) knownSizeHint
       else known.count()
-    if (bloomPruneThreshold >= 0 && stateSize > bloomPruneThreshold) {
+    // Builder and probe must hash in ONE shared domain, decided from BOTH
+    // sides' id types: long domain only when both sides are integral,
+    // string domain only when both sides are strings. For MIXED types
+    // (e.g. the store's string content_id probed by long incoming ids —
+    // join-time coercion handles that in the plain path) there is no
+    // domain in which the bloom provably mirrors the join's equality
+    // semantics, so the prune is skipped rather than risking a false
+    // negative that silently passes a duplicate.
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val bloomDomain: Option[org.apache.spark.sql.types.DataType] =
+      (in.schema(idCol).dataType, knownIds0.schema(idCol).dataType) match {
+        case (StringType, StringType) => Some(StringType)
+        case (LongType | IntegerType, LongType | IntegerType) => Some(LongType)
+        case _ => None
+      }
+    if (bloomPruneThreshold >= 0 && stateSize > bloomPruneThreshold &&
+        bloomDomain.isDefined) {
       // The Bloom is built from the RAW state ids — duplicate inserts are
       // harmless to a Bloom filter, so the build is a pure narrow scan +
       // treeAggregate: no distinct shuffle, no checkpoint materialization.
@@ -286,20 +302,13 @@ object StateStore {
       // and it dominated the whole path: ~8 s of the 9.9 s measured at a
       // 12M-row state.) The join below keeps the lazy distinct projection,
       // which it evaluates exactly once.
+      val longDomain = bloomDomain.contains(LongType)
       val bloom = buildBloom(known.select(col("content_id").as(idCol)),
-        idCol, stateSize, bloomFpp)
-      // Probe in the SAME hash domain the builder inserted (putLong for
-      // long/int ids, UTF-8 bytes of the string cast otherwise) — a
-      // string-built bloom probed via mightContainLong would false-negative
-      // ~every known id and silently pass duplicates as fresh.
-      val idType = in.schema(idCol).dataType
-      val probeCol = idType match {
-        case org.apache.spark.sql.types.StringType |
-             org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.IntegerType => col(idCol)
-        case _ => col(idCol).cast("string")
-      }
-      val might = graft.functions.GraftFunctions.bloom_might_contain(probeCol, bloom)
+        idCol, stateSize, bloomFpp, longDomain)
+      // Probe in the SAME domain the builder inserted: putLong /
+      // mightContainLong when both sides are integral (int probes widen to
+      // long in the expression), UTF-8 string bytes when both are strings.
+      val might = graft.functions.GraftFunctions.bloom_might_contain(col(idCol), bloom)
       // NULL ids never match an anti-join key, so the plain path KEEPS
       // them; the bloom probe evaluates to NULL for a null id and both
       // filter(might) and filter(!might) would silently drop the row —
@@ -312,16 +321,17 @@ object StateStore {
   }
 
   /** Distributed Bloom build over the state ids: per-partition filters
-    * merged via treeAggregate. Long/int ids are inserted via putLong, all
-    * others as the UTF-8 bytes of their string cast — each matching exactly
-    * how `dedup` probes that type (BloomMightContainExpr.mightContainLong /
-    * mightContainUtf8), so builder and probe can never drift. Null state
-    * ids are skipped: a null key never matches an anti-join probe anyway,
-    * and null incoming ids bypass the bloom entirely (see dedup). */
+    * merged via treeAggregate. `longDomain` selects the hash domain the
+    * PROBE will use (decided in dedup from both sides' types): putLong for
+    * the integral domain, UTF-8 bytes for the string domain — matching
+    * BloomMightContainExpr.mightContainLong / mightContainUtf8 exactly, so
+    * builder and probe can never drift. Null state ids are skipped: a null
+    * key never matches an anti-join probe anyway, and null incoming ids
+    * bypass the bloom entirely (see dedup). */
   private def buildBloom(ids: DataFrame, idCol: String, expected: Long,
-                         fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
+                         fpp: Double, longDomain: Boolean)
+      : org.apache.spark.util.sketch.BloomFilter = {
     import org.apache.spark.util.sketch.BloomFilter
-    import org.apache.spark.sql.types.{IntegerType, LongType}
     val spark = ids.sparkSession
     import spark.implicits._
     // Cap build parallelism: every partition allocates (and later
@@ -337,17 +347,15 @@ object StateStore {
       (expected / 4000000L).toInt + 1))
     val nonNull = ids.filter(col(idCol).isNotNull).coalesce(parts)
     val zero = BloomFilter.create(math.max(1L, expected), fpp)
-    ids.schema(idCol).dataType match {
-      case LongType | IntegerType =>
-        nonNull.select(col(idCol).cast("long")).as[Long].rdd
-          .treeAggregate(zero)(
-            (f, v) => { f.putLong(v); f },
-            (a, b) => { a.mergeInPlace(b); a })
-      case _ =>
-        nonNull.select(col(idCol).cast("string")).as[String].rdd
-          .treeAggregate(zero)(
-            (f, s) => { f.putBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f },
-            (a, b) => { a.mergeInPlace(b); a })
-    }
+    if (longDomain)
+      nonNull.select(col(idCol).cast("long")).as[Long].rdd
+        .treeAggregate(zero)(
+          (f, v) => { f.putLong(v); f },
+          (a, b) => { a.mergeInPlace(b); a })
+    else
+      nonNull.select(col(idCol).cast("string")).as[String].rdd
+        .treeAggregate(zero)(
+          (f, s) => { f.putBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f },
+          (a, b) => { a.mergeInPlace(b); a })
   }
 }

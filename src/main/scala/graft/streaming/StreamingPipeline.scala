@@ -40,7 +40,12 @@ object StreamingPipeline {
                       cfg: Pipeline.Config = Pipeline.Config(),
                       maxFilesPerTrigger: Int = 4,
                       transport: Option[DataFrame => Long] = None): Long = {
-    val state = new StateStore(s"$outDir/state")
+    // same state seam as batch Pipeline.run: snapshot store by default, a
+    // catalog table (or anything else) when the Config says so — the
+    // batch/streaming halves of a deployment must share ONE state or every
+    // streamed id re-emits as fresh in the batch path
+    val backend = cfg.stateBackend.getOrElse(
+      new SnapshotStateBackend(new StateStore(s"$outDir/state")))
     val routedTotal = new java.util.concurrent.atomic.AtomicLong(0)
 
     val stream = spark.readStream
@@ -70,14 +75,14 @@ object StreamingPipeline {
           val fresh =
             if (cfg.skipKnownLogs)
               // when the (opt-in) bloom prune is on, its threshold decision
-              // reads liveRowCount — memoized per snapshot + counting only
-              // new deltas after each commit, so no full state count per
-              // micro-batch
-              state.dedup(batch, state.load(spark, cfg.nowEpochSec),
+              // reads the backend's sizeHint — memoized per snapshot for
+              // the store (incremental delta counts), so no full state
+              // count per micro-batch
+              StateStore.dedup(batch, backend.load(spark, cfg.nowEpochSec),
                 withinBatch = cfg.dedupWithinRun,
                 bloomPruneThreshold = cfg.bloomPruneThreshold,
                 knownSizeHint =
-                  if (cfg.bloomPruneThreshold >= 0) state.liveRowCount(spark)
+                  if (cfg.bloomPruneThreshold >= 0) backend.sizeHint(spark)
                   else -1L)
             else if (cfg.dedupWithinRun) batch.dropDuplicates("doc_id")
             else batch
@@ -99,7 +104,7 @@ object StreamingPipeline {
               routedTotal.addAndGet(routed.count())
               // commit all received ids (filtered rows included — reference
               // semantics, src/collector.rs:161) strictly after the writes
-              state.commit(spark, fresh.select("doc_id"), "doc_id",
+              backend.commit(spark, fresh.select("doc_id"), "doc_id",
                 cfg.expirationEpochSec, cfg.nowEpochSec)
               ()
             } finally routed.unpersist()

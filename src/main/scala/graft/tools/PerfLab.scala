@@ -40,11 +40,19 @@ object PerfLab {
     * INTERLEAVED rounds (a,b,c,d),(a,b,c,d),... so all variants sample the
     * same contention epochs; best-of per variant. */
   private def sinkAb(): Unit = {
+    // every knob EXPLICIT in every variant: GraftSession now defaults to
+    // v2+lz4 (this experiment's winner), so a variant that "passes nothing"
+    // would silently run the winner and make the A/B vacuous
     val variants = Seq(
-      "v1_snappy" -> Seq(),
+      "v1_snappy" -> Seq(
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "1",
+        "spark.sql.parquet.compression.codec" -> "snappy"),
       "v2_snappy" -> Seq(
-        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "2"),
-      "v1_lz4" -> Seq("spark.sql.parquet.compression.codec" -> "lz4"),
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "2",
+        "spark.sql.parquet.compression.codec" -> "snappy"),
+      "v1_lz4" -> Seq(
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "1",
+        "spark.sql.parquet.compression.codec" -> "lz4"),
       "v2_lz4" -> Seq(
         "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "2",
         "spark.sql.parquet.compression.codec" -> "lz4"))

@@ -133,7 +133,6 @@ class DedupOpsSpec extends SparkSuite {
     // projection is now eagerly localCheckpoint'd, so the downstream plan
     // must contain ZERO ShingleHashes kernels (they all ran inside the
     // checkpoint job) and read the materialized blocks instead.
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", "lang", 2, 55)
     val plan = pairs.queryExecution.executedPlan.toString.toLowerCase
     assert(!plan.contains("shinglehashes"),

@@ -124,6 +124,33 @@ class StateStoreSpec extends SparkSuite {
     assert(st.dedup(incomingInt, knownInt, bloomPruneThreshold = 0L).count() === 500)
   }
 
+  test("MIXED-type ids (string state, long incoming) fall back to the plain join under bloom settings") {
+    // The real store persists content_id as STRING (commit casts), so a
+    // caller deduping long incoming ids against it mixes types. There is
+    // no single hash domain in which a bloom provably mirrors the join's
+    // type-coercion equality, so the prune must decline — not guess and
+    // risk a false negative that passes duplicates.
+    val st = new StateStore(tmpDir("st_bloom_mixed"))
+    st.commit(spark, spark.range(0, 500).select(col("id").as("doc_id")),
+      "doc_id", future, now) // commits as string content_id
+    val incoming = spark.range(0, 1000).select(col("id").as("doc_id"))
+    val known = st.load(spark, now)
+    assert(known.schema("content_id").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val plain = st.dedup(incoming, known, bloomPruneThreshold = -1L)
+      .as[Long].collect().toSet
+    val viaBloomSettings = st.dedup(incoming, known, bloomPruneThreshold = 0L)
+      .as[Long].collect().toSet
+    assert(plain === (500L until 1000L).toSet,
+      "join-time coercion must dedup long incoming against string state")
+    assert(viaBloomSettings === plain,
+      "mixed-type dedup with bloom settings must not diverge from the plain join")
+    // and no bloom probe appears in the plan (the prune declined)
+    val plan = st.dedup(incoming, known, bloomPruneThreshold = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("bloommightcontain"), s"plan:\n$plan")
+  }
+
   test("bloom path keeps NULL-id rows (plain anti-join semantics) and tolerates null state ids") {
     // ADVICE r3: both filter(might) and filter(!might) are NULL for a null
     // id — the bloom path silently dropped exactly the malformed rows the
