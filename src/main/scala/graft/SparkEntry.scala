@@ -230,6 +230,12 @@ object SparkEntry {
           "distinct_ratio_x1000", "n_punct", "stopword_hits")
         .orderBy("doc_id")),
 
+    "q_text_repetition" -> ((s, d) =>
+      // Gopher-style duplicate-n-gram fractions (boilerplate/spam filter)
+      TextOps.repetitionStats(t(s, d, "documents"))
+        .select("doc_id", "dup_2gram_frac_x1000", "dup_3gram_frac_x1000")
+        .orderBy("doc_id")),
+
     "q_text_langid" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("lang_pred"))
@@ -810,6 +816,22 @@ object SparkEntry {
              ['the','a','of','and','to','in','is','it','that','for'])) AS BIGINT)
              AS stopword_hits
          FROM w ORDER BY doc_id""",
+    "q_text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+         g AS (SELECT doc_id,
+           CASE WHEN len(ws) >= 2
+             THEN list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))
+             ELSE [array_to_string(ws, ' ')] END AS g2,
+           greatest(len(ws) - 1, 1) AS t2,
+           CASE WHEN len(ws) >= 3
+             THEN list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+             ELSE [array_to_string(ws, ' ')] END AS g3,
+           greatest(len(ws) - 2, 1) AS t3
+         FROM w)
+         SELECT doc_id,
+           CAST(1000 - floor(len(g2) * 1000.0 / t2) AS BIGINT) AS dup_2gram_frac_x1000,
+           CAST(1000 - floor(len(g3) * 1000.0 / t3) AS BIGINT) AS dup_3gram_frac_x1000
+         FROM g ORDER BY doc_id""",
     "q_text_langid" ->
       """WITH w AS (SELECT doc_id, lang,
              list_distinct(string_split_regex(trim(text), '\s+')) AS dw FROM documents)

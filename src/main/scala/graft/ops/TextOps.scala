@@ -104,6 +104,26 @@ object TextOps {
   }
 
   /**
+   * N-gram repetition signals — the MassiveText/Gopher repetition filters
+   * (Rae et al. 2021, appendix A1.1): documents whose n-grams repeat
+   * heavily are boilerplate, spam, or template churn, and get dropped
+   * before training. Per requested n, adds an integer column
+   * `dup_{n}gram_frac_x1000` = 1000 · (1 − distinct/total n-grams),
+   * scaled ×1000 so it is exact and oracle-comparable. Distinctness is
+   * over the n-gram STRINGS (not hashes) so the DuckDB oracle reproduces
+   * it with zero collision risk; texts shorter than n words score 0 by
+   * construction (one padded shingle over one slot).
+   */
+  def repetitionStats(df: DataFrame, textCol: String = "text",
+                      ns: Seq[Int] = Seq(2, 3)): DataFrame =
+    ns.foldLeft(df) { (acc, n) =>
+      val total = greatest(size(words(col(textCol))) - lit(n - 1), lit(1))
+      val distinctN = size(array_distinct(wordNgrams(col(textCol), n)))
+      acc.withColumn(s"dup_${n}gram_frac_x1000",
+        (lit(1000L) - floor(distinctN * lit(1000L) / total)).cast("long"))
+    }
+
+  /**
    * Language ID by stopword voting: distinct-word overlap with each
    * language's stopword list; argmax with deterministic tie-break on the
    * fixed language order (en, de, fr, es, zh). `greatest`-free formulation:

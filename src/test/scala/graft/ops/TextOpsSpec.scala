@@ -77,6 +77,23 @@ class TextOpsSpec extends SparkSuite {
     assert(got === Array("en", "de", "fr", "zh"))
   }
 
+  test("repetitionStats: duplicate n-gram fractions, exact and short-doc safe") {
+    val got = TextOps.repetitionStats(Seq(
+        "buy now buy now buy now buy now",  // heavy template repetition
+        "one two three four five six seven", // zero repetition
+        "hello",                             // < n words → 0 by construction
+        "")                                  // empty → 0
+      .toDF("text"))
+      .select("dup_2gram_frac_x1000", "dup_3gram_frac_x1000")
+      .as[(Long, Long)].collect()
+    // doc 1: bigrams = 7 total, {buy now, now buy} distinct → 1000-285=715;
+    //        trigrams = 6 total, {buy now buy, now buy now} → 1000-333=667
+    assert(got(0) === ((715L, 667L)))
+    assert(got(1) === ((0L, 0L)), "all-distinct text must score 0")
+    assert(got(2) === ((0L, 0L)))
+    assert(got(3) === ((0L, 0L)))
+  }
+
   test("qualityScore emits exact integer signals") {
     val row = TextOps.qualityScore(Seq("the the cat sat!").toDF("text"))
       .select("n_chars2", "n_words", "distinct_ratio_x1000", "n_punct", "stopword_hits")

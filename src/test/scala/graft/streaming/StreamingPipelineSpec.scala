@@ -51,6 +51,28 @@ class StreamingPipelineSpec extends SparkSuite {
     } finally server.close()
   }
 
+  test("streaming and batch share ONE catalog-backed state (cfg.stateBackend honored)") {
+    // regression for the round-4 review finding: StreamingPipeline used to
+    // hardwire the snapshot store while honoring the rest of the same
+    // Config — a catalog-backed deployment silently split its state and
+    // the batch half re-emitted every streamed id as fresh.
+    val backend = new CatalogStateBackend("graft_state_stream")
+    val cfg = Pipeline.Config(stateBackend = Some(backend))
+    val in = tmpDir("stream_cat_in"); val out = tmpDir("stream_cat_out")
+    writeBatch(in, 0, 800)
+    val streamed = StreamingPipeline.runAvailableNow(spark, in, out, cfg,
+      maxFilesPerTrigger = 1)
+    assert(streamed > 0)
+    // the streamed ids landed in the catalog table…
+    assert(backend.sizeHint(spark) === 800)
+    // …so a BATCH run over the same input against the same backend dedups
+    // everything (one state across both halves of the deployment)
+    val r = Pipeline.run(spark, DataGen.sequences(spark, 800L, 2),
+      tmpDir("stream_cat_batch"), cfg)
+    assert(r.stats.rowsDeduped === r.stats.rowsIn)
+    assert(r.stats.rowsRouted === 0)
+  }
+
   test("second drain over new + old files emits only the new rows (ST2/ST4)") {
     val in = tmpDir("stream_in2"); val out = tmpDir("stream_out2")
     writeBatch(in, 0, 1000)
