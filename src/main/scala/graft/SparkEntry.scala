@@ -294,6 +294,13 @@ object SparkEntry {
           col("is_canonical").cast("int").as("is_canonical"))
         .orderBy("id")),
 
+    "q_dedup_spans" -> ((s, d) =>
+      // C4-style span dedup: repeated 8-word chunks keep only their
+      // globally-first occurrence; docs reassembled from survivors
+      DedupOps.spanDedup(t(s, d, "documents"), "doc_id", "text", 8)
+        .select(col("id"), col("n_kept"), col("text_deduped"))
+        .orderBy("id")),
+
     "q_dedup_survivors" -> ((s, d) =>
       // the corpus a training pipeline keeps: canonical doc per near-dup
       // cluster, full original rows
@@ -816,6 +823,16 @@ object SparkEntry {
              ['the','a','of','and','to','in','is','it','that','for'])) AS BIGINT)
              AS stopword_hits
          FROM w ORDER BY doc_id""",
+    "q_dedup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+         c AS (SELECT doc_id, unnest(range(0, greatest(CAST(ceil(len(ws) / 8.0) AS INT), 1))) AS idx, ws FROM w),
+         ch AS (SELECT doc_id, CAST(idx AS INT) AS idx,
+                  array_to_string(ws[(CAST(idx AS INT) * 8 + 1):(CAST(idx AS INT) * 8 + 8)], ' ') AS chunk FROM c),
+         k AS (SELECT doc_id, idx, chunk,
+                  row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn FROM ch)
+         SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_kept,
+                string_agg(chunk, ' ' ORDER BY idx) AS text_deduped
+         FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
     "q_text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
          g AS (SELECT doc_id,

@@ -334,6 +334,46 @@ object DedupOps {
   }
 
   /**
+   * C4-style SPAN dedup within a corpus (Raffel et al. 2020 §2.2 dedup
+   * "three-sentence spans"; here fixed `chunkWords`-word windows because
+   * this corpus carries no sentence delimiters — for prose, chunk on
+   * sentence boundaries instead and the rest is identical): every repeated
+   * chunk is dropped except its globally-FIRST occurrence (ordered by
+   * (id, chunk index)), and each document is reassembled from its
+   * surviving chunks. Documents whose every chunk was seen earlier
+   * disappear entirely — they are pure duplicates. Output:
+   * (id, n_kept, text_deduped).
+   *
+   * Scale shape: ONE shuffle of the corpus keyed on the chunk content (the
+   * global first-occurrence decision is inherently corpus-wide — C4 pays
+   * the same exchange), then a per-doc regroup. Chunks are grouped by
+   * their exact STRINGS, so the result is collision-free and the DuckDB
+   * oracle reproduces it; at 10^11+ chunks, group on a 128-bit fingerprint
+   * of the chunk instead (xxhash64 pair / md5) to shrink the exchange —
+   * same plan, accepted 2^-128 collision odds. Alignment caveat: fixed
+   * windows only catch duplicates at the same intra-chunk offset —
+   * content-delimited chunks (sentences) are alignment-free.
+   */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                chunkWords: Int = 8): DataFrame = {
+    require(chunkWords > 0)
+    val ws = TextOps.words(col(textCol))
+    val nChunks = greatest(ceil(size(ws) / lit(chunkWords.toDouble)).cast("int"), lit(1))
+    val chunked = df.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords)))))
+        .as(Seq("idx", "chunk")))
+    val w = Window.partitionBy("chunk").orderBy(col("id"), col("idx"))
+    chunked.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          s => s.getField("chunk"))).as("text_deduped"))
+  }
+
+  /**
    * Exact n-gram Jaccard pairs within a blocking key (e.g. lang) — all
    * pairs reaching the threshold, found WITHOUT the quadratic in-block
    * self-join, via the two standard lossless set-similarity-join prunes:

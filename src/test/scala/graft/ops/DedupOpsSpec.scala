@@ -126,6 +126,30 @@ class DedupOpsSpec extends SparkSuite {
     info(s"pairs at hamming<=5: ${brute.length}, of which 4-5: ${beyondOldGuarantee.length}")
   }
 
+  test("spanDedup: repeated chunks keep only the globally-first occurrence; pure dups vanish") {
+    // chunkWords = 2 for readable fixtures
+    val corpus = Seq(
+      (1L, "a b c d e f"),   // chunks: [a b][c d][e f]
+      (2L, "a b x y"),       // "a b" repeats doc 1 → kept: [x y]
+      (3L, "c d e f"),       // both chunks repeat doc 1 → doc vanishes
+      (4L, "e f a b q")      // "e f","a b" repeat; tail "q" survives
+    ).toDF("doc_id", "text")
+    val got = DedupOps.spanDedup(corpus, "doc_id", "text", chunkWords = 2)
+      .select("id", "n_kept", "text_deduped")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 3L, "a b c d e f"),
+      (2L, 1L, "x y"),
+      (4L, 1L, "q")))
+    // determinism: first occurrence is decided by (id, chunk idx), so the
+    // result is invariant under input partitioning
+    val repartitioned = DedupOps.spanDedup(corpus.repartition(7), "doc_id",
+        "text", chunkWords = 2)
+      .select("id", "n_kept", "text_deduped")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(repartitioned === got)
+  }
+
   test("ngramJaccardPairs single-scan contract: shingles computed once, downstream reads the checkpoint") {
     // VERDICT r3 #5: the df-ordering explode and the two candidate fetch
     // joins used to each re-derive the shingle scan through the lazy
