@@ -157,6 +157,9 @@ object Bench {
     queries("dedup_ngram_jaccard") = time2 {
       DedupOps.ngramJaccardPairs(t("documents"), "doc_id", "text", "lang", 2, 55).count()
     }
+    queries("dedup_spans") = time2 {
+      DedupOps.spanDedup(t("documents"), "doc_id", "text", 8).count()
+    }
     queries("text_analysis") = time2 {
       TextOps.qualityScore(t("documents"))
         .select(col("doc_id"), TextOps.langId(col("text")),
