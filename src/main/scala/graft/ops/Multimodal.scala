@@ -18,13 +18,15 @@ case class DecodedMedia(media_id: Long, media_type: String, ok: Boolean,
  * Multimodal-column handling for training-data pipelines: image/audio/video
  * as opaque `binary` columns with typed metadata, decoded per partition.
  *
- * Image and audio are decoded FOR REAL — the container ships no codec
- * libraries, so the synthetic corpus uses the two standard formats that
- * need none: binary PGM (P5) for images and RIFF/WAV PCM-16 for audio,
- * both parsed byte-level here, with real per-asset features (pixel/sample
- * statistics). Video stays a ==== STUB ==== (no codec-free video container
- * worth hand-rolling): fake dimensions derived from the payload. The
- * Spark-side shape is the load-bearing part at scale:
+ * ALL THREE modalities are decoded FOR REAL — the container ships no codec
+ * libraries, so the synthetic corpus uses the standard formats that need
+ * none: binary PGM (P5) for images, RIFF/WAV PCM-16 for audio, and
+ * YUV4MPEG2 (Y4M) for video — the uncompressed interchange container
+ * (mjpegtools/ffmpeg `-f yuv4mpeg`): a plain-text stream header
+ * `YUV4MPEG2 W.. H.. F.. C420\n` followed by `FRAME\n` + raw planar YUV
+ * per frame. Each is parsed byte-level here with real per-asset features
+ * (pixel/sample/luma+motion statistics). The Spark-side shape is the
+ * load-bearing part at scale:
  *   - schema: (media_id long, media_type string, content binary, meta map)
  *   - batch shape: `mapPartitions` over a typed Dataset — the Scala analog
  *     of Python's mapInPandas; one iterator per task, streaming, no
@@ -57,14 +59,17 @@ object Multimodal {
           wavBytes(8000, Array.tabulate(samples)(i =>
             ((mix(id, 200L + i) % 65536L) - 32768L).toShort))
         case _ =>
-          val size = 64 + (mix(id, 1) % 961).toInt
-          Array.tabulate[Byte](size)(i => (mix(id, i.toLong + 2) & 0xff).toByte)
+          val w = 8 + 2 * (mix(id, 4) % 12).toInt  // even dims (C420 planes)
+          val h = 8 + 2 * (mix(id, 5) % 12).toInt
+          val frames = 2 + (mix(id, 6) % 5).toInt
+          y4mBytes(w, h, frames, (f, x, y) =>
+            (mix(id, 300L + f * 7919L + x * 31L + y) & 0xff).toInt)
       }
       val bytes =
-        if (mtype != "video" && mix(id, 7) % 50 == 0) full.take(6) // poison
+        if (mix(id, 7) % 50 == 0) full.take(6) // poison (all three modalities)
         else full
       MediaRow(id, mtype, bytes, Map("origin" -> s"synth-$id",
-        "codec" -> (if (mtype == "video") "fake" else if (mtype == "image") "pgm" else "wav")))
+        "codec" -> (if (mtype == "video") "y4m" else if (mtype == "image") "pgm" else "wav")))
     }
   }
 
@@ -107,6 +112,35 @@ object Multimodal {
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     samples.foreach(buf.putShort)
     buf.array()
+  }
+
+  /** YUV4MPEG2 (Y4M) C420 writer: stream header + per-frame `FRAME\n` and
+    * raw planar YUV420 (Y = w·h luma bytes from `luma(frame, x, y)`; U/V =
+    * flat 128 chroma quarter-planes — gray, the luma stats are what the
+    * features read). Even w/h required by 4:2:0 subsampling. */
+  def y4mBytes(w: Int, h: Int, frames: Int, luma: (Int, Int, Int) => Int): Array[Byte] = {
+    require(w % 2 == 0 && h % 2 == 0 && frames > 0)
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+    val frameMarker = "FRAME\n".getBytes("US-ASCII")
+    val ySize = w * h
+    val cSize = (w / 2) * (h / 2)
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + frames * (frameMarker.length + ySize + 2 * cSize))
+    out.put(header)
+    var f = 0
+    while (f < frames) {
+      out.put(frameMarker)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out.put((luma(f, x, y) & 0xff).toByte); x += 1 }
+        y += 1
+      }
+      var c = 0
+      while (c < 2 * cSize) { out.put(128.toByte); c += 1 }
+      f += 1
+    }
+    out.array()
   }
 
   // ---- decoders --------------------------------------------------------
@@ -164,9 +198,57 @@ object Multimodal {
     Some((sampleRate, samples))
   }
 
+  /** Parse a YUV4MPEG2 stream: Some((w, h, yPlanes)) — the luma plane of
+    * every complete frame — or None if malformed. Accepts C420* (4:2:0
+    * chroma) and Cmono (luma only); rejects anything else rather than
+    * guessing plane sizes. Trailing partial frames are treated as
+    * corruption (None), not silently dropped. */
+  def parseY4m(bytes: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] = {
+    val magic = "YUV4MPEG2".getBytes("US-ASCII")
+    if (bytes.length < magic.length + 1 ||
+        !java.util.Arrays.equals(java.util.Arrays.copyOf(bytes, magic.length), magic))
+      return None
+    var i = magic.length
+    val headerEnd = bytes.indexOf('\n'.toByte, i)
+    if (headerEnd < 0) return None
+    val header = new String(bytes, i, headerEnd - i, "US-ASCII")
+    var w = -1; var h = -1; var chroma = "420"
+    header.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+      tok.charAt(0) match {
+        case 'W' => w = tok.drop(1).toIntOption.getOrElse(-1)
+        case 'H' => h = tok.drop(1).toIntOption.getOrElse(-1)
+        case 'C' => chroma = tok.drop(1)
+        case _   => () // F (rate), I (interlace), A (aspect), X (comment)
+      }
+    }
+    if (w <= 0 || h <= 0) return None
+    val ySize = w.toLong * h
+    val cSize: Long =
+      if (chroma.startsWith("420")) 2L * (w / 2) * (h / 2)
+      else if (chroma == "mono") 0L
+      else return None
+    if (ySize + cSize > Int.MaxValue || ySize * cSize < 0) return None
+    val frameBytes = (ySize + cSize).toInt
+    val marker = "FRAME".getBytes("US-ASCII")
+    val planes = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    i = headerEnd + 1
+    while (i < bytes.length) {
+      // each frame: "FRAME"[ params]"\n" + planes
+      if (i + marker.length > bytes.length ||
+          !java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(bytes, i, i + marker.length), marker))
+        return None
+      val nl = bytes.indexOf('\n'.toByte, i + marker.length)
+      if (nl < 0 || nl + 1 + frameBytes > bytes.length) return None
+      planes += java.util.Arrays.copyOfRange(bytes, nl + 1, nl + 1 + ySize.toInt)
+      i = nl + 1 + frameBytes
+    }
+    if (planes.isEmpty) None else Some((w, h, planes.toArray))
+  }
+
   /**
-   * Decode stage: real PGM/WAV byte-level decode with real features; video
-   * via the labeled stub. Unparsable payloads → ok=false poison rows.
+   * Decode stage: real PGM/WAV/Y4M byte-level decode with real features.
+   * Unparsable payloads → ok=false poison rows.
    */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
@@ -222,23 +304,55 @@ object Multimodal {
       DecodedMedia(m.media_id, "audio", ok = true, rate, 16, s.length,
         Array((sum / n).toFloat, math.sqrt(sq / n).toFloat, peak.toFloat, zc.toFloat))
     }
-    case _ =>
-      // ==== STUB ==== no codec-free video container: fake dims from bytes
-      val h = m.content.take(8).foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
-      DecodedMedia(m.media_id, m.media_type, ok = true,
-        16 + (h % 240).toInt, 16 + ((h >> 8) % 240).toInt, 1 + (h % 32).toInt,
-        Array.tabulate(8)(i => ((mix(h, i.toLong) % 2000001L) / 1000000.0f) - 1.0f))
+    case _ => parseY4m(m.content).fold(poison(m)) { case (w, h, yPlanes) =>
+      // real luma statistics across frames + a motion proxy: mean absolute
+      // difference of consecutive per-frame mean lumas (static content → 0)
+      var sum = 0.0; var sq = 0.0; var mn = 255; var mx = 0
+      val frameMeans = new Array[Double](yPlanes.length)
+      var f = 0
+      while (f < yPlanes.length) {
+        val p = yPlanes(f)
+        var fs = 0.0
+        var i = 0
+        while (i < p.length) {
+          val v = p(i) & 0xff
+          fs += v; sq += v.toDouble * v
+          if (v < mn) mn = v; if (v > mx) mx = v
+          i += 1
+        }
+        frameMeans(f) = fs / p.length
+        sum += fs
+        f += 1
+      }
+      val n = yPlanes.length.toDouble * (w * h)
+      val mean = sum / n
+      val std = math.sqrt(math.max(0, sq / n - mean * mean))
+      val motion =
+        if (yPlanes.length < 2) 0.0
+        else (1 until yPlanes.length)
+          .map(f => math.abs(frameMeans(f) - frameMeans(f - 1))).sum /
+          (yPlanes.length - 1)
+      DecodedMedia(m.media_id, "video", ok = true, w, h, yPlanes.length,
+        Array(mean.toFloat, std.toFloat, mn.toFloat, mx.toFloat,
+          frameMeans.head.toFloat, frameMeans.last.toFloat, motion.toFloat,
+          yPlanes.length.toFloat))
+    }
   }
 
-  /** Frame sampling: every `stride`-th fake frame of video payloads —
-    * demonstrates the explode shape (one row per sampled frame) with the
-    * binary payload sliced per frame, not copied whole. */
+  /** Frame sampling: every `stride`-th REAL frame of the Y4M payloads —
+    * one row per sampled frame carrying that frame's luma plane only (the
+    * chroma and the other frames' bytes die here, before any exchange).
+    * Unparsable videos yield no frames (they surface as ok=false in
+    * `decode`; this stage is downstream of quarantine in a real pipeline). */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): DataFrame = {
-    val df = media.toDF()
-    df.filter(col("media_type") === "video")
-      .withColumn("frame_idx",
-        explode(sequence(lit(0), (length(col("content")) / 64 - 1).cast("int"), lit(stride))))
-      .select(col("media_id"), col("frame_idx"),
-        col("content").substr(col("frame_idx") * 64 + 1, lit(64)).as("frame_bytes"))
+    require(stride > 0)
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "video").mapPartitions { it =>
+      it.flatMap { m =>
+        parseY4m(m.content).toSeq.flatMap { case (_, _, yPlanes) =>
+          yPlanes.indices.by(stride).map(f => (m.media_id, f, yPlanes(f)))
+        }
+      }
+    }.toDF("media_id", "frame_idx", "frame_bytes")
   }
 }
