@@ -470,9 +470,9 @@ object SparkEntry {
     }),
 
     "q_media_decode" -> ((s, d) => {
-      // multimodal: REAL byte-level PGM/WAV decode (codec-free formats;
-      // video stays a labeled stub), poison rows surfaced via ok=false;
-      // rows-only (no SQL-expressible oracle for binary decode)
+      // multimodal: REAL byte-level PGM/WAV/Y4M decode (all codec-free
+      // formats), poison rows surfaced via ok=false; rows-only (no
+      // SQL-expressible oracle for binary decode)
       val media = Multimodal.syntheticMedia(s, 1000L, 8)
       Multimodal.decode(media).toDF()
         .groupBy("media_type", "ok")

@@ -40,10 +40,10 @@ case class DecodedMedia(media_id: Long, media_type: String, ok: Boolean,
  */
 object Multimodal {
 
-  /** Deterministic synthetic media table: REAL PGM images and WAV PCM-16
-    * audio clips (decodable without codec libs), plus fake "video" blobs
-    * for the stub path; ~2% of image/audio payloads are deterministically
-    * truncated to exercise the poison-row branch. */
+  /** Deterministic synthetic media table: REAL PGM images, WAV PCM-16
+    * audio clips and YUV4MPEG2 video streams (all decodable without codec
+    * libs); ~2% of payloads across all three modalities are
+    * deterministically truncated to exercise the poison-row branch. */
   def syntheticMedia(spark: SparkSession, n: Long, parts: Int = 0): Dataset[MediaRow] = {
     import spark.implicits._
     val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
@@ -227,7 +227,7 @@ object Multimodal {
       if (chroma.startsWith("420")) 2L * (w / 2) * (h / 2)
       else if (chroma == "mono") 0L
       else return None
-    if (ySize + cSize > Int.MaxValue || ySize * cSize < 0) return None
+    if (ySize + cSize > Int.MaxValue) return None
     val frameBytes = (ySize + cSize).toInt
     val marker = "FRAME".getBytes("US-ASCII")
     val planes = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
@@ -239,7 +239,12 @@ object Multimodal {
             java.util.Arrays.copyOfRange(bytes, i, i + marker.length), marker))
         return None
       val nl = bytes.indexOf('\n'.toByte, i + marker.length)
-      if (nl < 0 || nl + 1 + frameBytes > bytes.length) return None
+      // LONG math: a malformed ~2 GB payload with a huge header makes
+      // nl + 1 + frameBytes wrap negative in Int, "pass" the bound, and
+      // throw in copyOfRange — a task failure where the contract is an
+      // ok=false poison row (same guard class as parsePgm/parseWav)
+      if (nl < 0 || nl.toLong + 1L + frameBytes.toLong > bytes.length.toLong)
+        return None
       planes += java.util.Arrays.copyOfRange(bytes, nl + 1, nl + 1 + ySize.toInt)
       i = nl + 1 + frameBytes
     }
@@ -332,7 +337,10 @@ object Multimodal {
         else (1 until yPlanes.length)
           .map(f => math.abs(frameMeans(f) - frameMeans(f - 1))).sum /
           (yPlanes.length - 1)
-      DecodedMedia(m.media_id, "video", ok = true, w, h, yPlanes.length,
+      // keep the INPUT's media_type (the poison arm does too): relabeling
+      // a future type to "video" on success would split one input type
+      // across two labels in any groupBy("media_type") downstream
+      DecodedMedia(m.media_id, m.media_type, ok = true, w, h, yPlanes.length,
         Array(mean.toFloat, std.toFloat, mn.toFloat, mx.toFloat,
           frameMeans.head.toFloat, frameMeans.last.toFloat, motion.toFloat,
           yPlanes.length.toFloat))
