@@ -166,6 +166,12 @@ object Bench {
           TextOps.fingerprint(col("text")), col("n_words"))
         .count()
     }
+    queries("text_decontaminate") = time2 {
+      val docs = t("documents")
+      TrainingOps.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0), "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0), "text", 2).count()
+    }
     queries("window_rank") = time2 {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey")
