@@ -230,6 +230,18 @@ object SparkEntry {
           "distinct_ratio_x1000", "n_punct", "stopword_hits")
         .orderBy("doc_id")),
 
+    "q_text_redact" -> ((s, d) =>
+      // PII scrubbing over planted addresses (the corpus itself carries
+      // none): both engines build the identical text, then redact with the
+      // same Java/RE2-portable patterns — byte-compared output
+      TextOps.redactPii(
+          t(s, d, "documents").select(col("doc_id"),
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com at 10.0."),
+              pmod(col("doc_id"), lit(256)).cast("string"), lit(".7")).as("text")))
+        .select("doc_id", "n_emails", "n_ips", "text_redacted")
+        .orderBy("doc_id")),
+
     "q_text_repetition" -> ((s, d) =>
       // Gopher-style duplicate-n-gram fractions (boilerplate/spam filter)
       TextOps.repetitionStats(t(s, d, "documents"))
@@ -833,6 +845,18 @@ object SparkEntry {
          SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_kept,
                 string_agg(chunk, ' ' ORDER BY idx) AS text_deduped
          FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_redact" ->
+      """WITH p AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+           '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text_redacted
+         FROM p ORDER BY doc_id""",
     "q_text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
          g AS (SELECT doc_id,

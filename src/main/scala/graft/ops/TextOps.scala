@@ -104,6 +104,29 @@ object TextOps {
   }
 
   /**
+   * PII redaction — the scrubbing pass every distributable corpus runs
+   * (emails and IPv4 addresses replaced with typed placeholders, plus
+   * per-doc match counts so the redaction rate is monitorable). The
+   * patterns deliberately use only the regex subset Java's engine and
+   * RE2 (DuckDB) interpret identically — ASCII classes, bounded repeats,
+   * word boundaries; no backreferences or lookaround — so the DuckDB
+   * oracle reproduces the redacted text byte-for-byte. Emails are
+   * redacted BEFORE IPs (an all-digit email domain would otherwise be
+   * half-rewritten by the IP pass).
+   */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_emails",
+        regexp_count(col(textCol), lit(EmailRe)).cast("long"))
+      .withColumn("n_ips",
+        regexp_count(col(textCol), lit(Ipv4Re)).cast("long"))
+      .withColumn("text_redacted",
+        regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"))
+
+  /**
    * N-gram repetition signals — the MassiveText/Gopher repetition filters
    * (Rae et al. 2021, appendix A1.1): documents whose n-grams repeat
    * heavily are boilerplate, spam, or template churn, and get dropped

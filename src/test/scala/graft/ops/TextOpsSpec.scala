@@ -77,6 +77,23 @@ class TextOpsSpec extends SparkSuite {
     assert(got === Array("en", "de", "fr", "zh"))
   }
 
+  test("redactPii: emails and IPs replaced with typed placeholders, lookalikes untouched") {
+    val got = TextOps.redactPii(Seq(
+        "mail a.b+c@ex-1.org or root@10.0.0.1 visit 192.168.1.200 twice 192.168.1.200",
+        "not pii: a@b 1.2.3 999.999 plain text",
+        "").toDF("text"))
+      .select("n_emails", "n_ips", "text_redacted")
+      .as[(Long, Long, String)].collect()
+    // 'root@10.0.0.1' has an all-digit domain — NOT an email by the
+    // TLD-alpha pattern, so its IP half is redacted by the IP pass
+    assert(got(0)._1 === 1L)
+    assert(got(0)._2 === 3L)
+    assert(got(0)._3 ===
+      "mail <EMAIL> or root@<IP> visit <IP> twice <IP>")
+    assert(got(1) === ((0L, 0L, "not pii: a@b 1.2.3 999.999 plain text")))
+    assert(got(2) === ((0L, 0L, "")))
+  }
+
   test("repetitionStats: duplicate n-gram fractions, exact and short-doc safe") {
     val got = TextOps.repetitionStats(Seq(
         "buy now buy now buy now buy now",  // heavy template repetition
