@@ -88,6 +88,33 @@ object Hashing {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Fixed-size word chunks — ≡ the HOF formulation TextOps.wordChunks
+    * (transform over sequence + slice + concat_ws, which Spark interprets
+    * per element; this kernel is one codegen call per row). Every text
+    * yields at least one chunk (possibly "" for empty input), matching
+    * wordsOf's at-least-one-word contract. */
+  def wordChunks(s: UTF8String, chunkWords: Int): ArrayData = {
+    val ws = wordsOf(s)
+    val n = math.max((ws.length + chunkWords - 1) / chunkWords, 1)
+    val out = new Array[AnyRef](n)
+    var c = 0
+    while (c < n) {
+      val sb = new java.lang.StringBuilder()
+      var j = c * chunkWords
+      val end = math.min(j + chunkWords, ws.length)
+      var first = true
+      while (j < end) {
+        if (!first) sb.append(' ')
+        sb.append(ws(j))
+        first = false
+        j += 1
+      }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Affine hash family — must match DedupOps.affine. */
   @inline private def affineA(i: Int): Long = 2654435761L % P + 2L * i + 1L
   @inline private def affineB(i: Int): Long = 1013904223L + 7919L * i

@@ -340,6 +340,21 @@ case class BloomMightContainExpr(child: Expression, bloomBytes: Array[Byte])
     copy(child = c)
 }
 
+/** Fixed-size word chunks of a text (array<string>), codegen'd — the scan
+  * kernel behind DedupOps.spanDedup; pinned ≡ TextOps.wordChunks (the
+  * interpreted HOF formulation) in FunctionsSpec. */
+case class WordChunksExpr(child: Expression, chunkWords: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Hashing.wordChunks(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      chunkWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.wordChunks($c, $chunkWords)")
+  override protected def withNewChildInternal(c: Expression): WordChunksExpr =
+    copy(child = c)
+}
+
 case class GenTokensExpr(child: Expression, vocab: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -423,6 +438,7 @@ object GraftFunctions {
   def audit_ts(s: Column, baseEpoch: Long, spanSeconds: Long): Column =
     c(AuditTsExpr(ColumnGlue.expression(s), baseEpoch, spanSeconds))
   def shingle_hashes(s: Column, n: Int): Column = c(ShingleHashesExpr(ColumnGlue.expression(s), n))
+  def word_chunks(s: Column, chunkWords: Int): Column = c(WordChunksExpr(ColumnGlue.expression(s), chunkWords))
   def minhash_sig(s: Column, n: Int, k: Int): Column = c(MinHashSigExpr(ColumnGlue.expression(s), n, k))
   def simhash64(s: Column): Column = c(SimHash64Expr(ColumnGlue.expression(s)))
   def simhash_poly(s: Column, bits: Int): Column =

@@ -357,18 +357,13 @@ object DedupOps {
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
                 chunkWords: Int = 8): DataFrame = {
     require(chunkWords > 0)
-    // tokenize ONCE into a projected column — an expression-tree `ws`
-    // referenced inside the transform lambda would re-split the whole text
-    // per chunk index (Spark does not CSE inside HOF lambdas): O(L·L/cw)
-    // token work per row instead of O(L)
-    val ws = col("__ws")
-    val nChunks = greatest(ceil(size(ws) / lit(chunkWords.toDouble)).cast("int"), lit(1))
-    val chunked = df
-      .withColumn("__ws", TextOps.words(col(textCol)))
-      .select(col(idCol).as("id"),
-        posexplode(transform(sequence(lit(0), nChunks - 1),
-          i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords)))))
-          .as(Seq("idx", "chunk")))
+    // one codegen kernel call per row (word_chunks ≡ TextOps.wordChunks,
+    // FunctionsSpec-pinned): the HOF formulation both interprets its
+    // lambda per element AND — without a projection barrier — re-splits
+    // the whole text per chunk index (no CSE inside HOF lambdas)
+    val chunked = df.select(col(idCol).as("id"),
+      posexplode(graft.functions.GraftFunctions.word_chunks(col(textCol), chunkWords))
+        .as(Seq("idx", "chunk")))
     val w = Window.partitionBy("chunk").orderBy(col("id"), col("idx"))
     chunked.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -58,6 +58,16 @@ object TextOps {
       .otherwise(array(concat_ws(" ", ws)))
   }
 
+  /** Fixed-size word chunks — HOF reference formulation (semantic spec for
+    * the codegen word_chunks kernel; FunctionsSpec pins bit-equality).
+    * Every text yields ≥ 1 chunk; the last may be shorter. */
+  def wordChunks(text: Column, chunkWords: Int): Column = {
+    val ws = words(text)
+    val nChunks = greatest(ceil(size(ws) / lit(chunkWords.toDouble)).cast("int"), lit(1))
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords))))
+  }
+
   /** Character n-gram shingles; shorter-than-n text yields itself. */
   def charNgrams(text: Column, n: Int): Column =
     when(length(text) >= n,

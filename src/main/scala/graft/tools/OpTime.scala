@@ -42,6 +42,8 @@ object OpTime {
         DedupOps.nearDupClusters(t("documents"), "doc_id", "text").count()
       case "minhash" =>
         DedupOps.minhashNearDups(t("documents"), "doc_id", "text", 2, 8, 4, 60).count()
+      case "spans" =>
+        DedupOps.spanDedup(t("documents"), "doc_id", "text", 8).count()
       case "lsh" =>
         val n = t("embeddings").count()
         val bits = SimilarityOps.occupancyBits(n)

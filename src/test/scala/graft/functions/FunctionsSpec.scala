@@ -37,6 +37,19 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("word_chunks ≡ TextOps.wordChunks incl. whitespace/short/empty edges") {
+    val edge = Seq("\thello world there are many words here\n", "solo", "",
+      "  spaced  ", "a😀b c d e f g h i", "x\t", "中文 字 test word five six")
+      .toDF("text")
+    for (df <- Seq(docs.select("text"), edge); cw <- Seq(1, 3, 8)) {
+      val diff = df.select(
+        graft.functions.GraftFunctions.word_chunks(col("text"), cw).as("a"),
+        TextOps.wordChunks(col("text"), cw).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff === 0, s"kernel/HOF divergence at chunkWords=$cw")
+    }
+  }
+
   test("audit kernels ≡ the Column-arithmetic reference formulations") {
     import graft.pipeline.{Parse, Schemas}
     val ids = graft.pipeline.DataGen.sequences(spark, 5000L, 4).select("doc_id")

@@ -148,15 +148,15 @@ class DedupOpsSpec extends SparkSuite {
       .select("id", "n_kept", "text_deduped")
       .as[(Long, Long, String)].collect().sortBy(_._1)
     assert(repartitioned === got)
-    // tokenize-once contract: the words split must appear EXACTLY once in
-    // the optimized plan (projected column referenced by the chunk lambda
-    // and the chunk count). If the optimizer ever collapses the projection
-    // back into the lambda, the split re-runs per chunk index — O(L²/cw)
-    // token work per row — and shows up here as >1 occurrence.
+    // scan-kernel contract: chunking is ONE codegen word_chunks call per
+    // row — no interpreted HOF lambda, no split() re-derivation anywhere
+    // in the plan (the HOF formulation both interprets per element and
+    // re-splits the text per chunk index without a projection barrier)
     val optimized = DedupOps.spanDedup(docs, "doc_id", "text", 8)
-      .queryExecution.optimizedPlan.toString
-    val splits = "split\\(".r.findAllIn(optimized).size
-    assert(splits === 1, s"expected one tokenization, found $splits:\n$optimized")
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(optimized.contains("wordchunks"), s"kernel missing:\n$optimized")
+    assert(!optimized.contains("split("),
+      s"interpreted tokenization leaked back into the plan:\n$optimized")
   }
 
   test("ngramJaccardPairs single-scan contract: shingles computed once, downstream reads the checkpoint") {
