@@ -313,6 +313,13 @@ object SparkEntry {
         .select(col("id"), col("n_kept"), col("text_deduped"))
         .orderBy("id")),
 
+    "q_dedup_spans_cdc" -> ((s, d) =>
+      // alignment-free span dedup: content-defined chunk boundaries
+      // (portable word hash % 8 == 0), global first-occurrence survives
+      DedupOps.spanDedupCdc(t(s, d, "documents"), "doc_id", "text", 8)
+        .select(col("id"), col("n_kept"), col("text_deduped"))
+        .orderBy("id")),
+
     "q_dedup_survivors" -> ((s, d) =>
       // the corpus a training pipeline keeps: canonical doc per near-dup
       // cluster, full original rows
@@ -835,6 +842,25 @@ object SparkEntry {
              ['the','a','of','and','to','in','is','it','that','for'])) AS BIGINT)
              AS stopword_hits
          FROM w ORDER BY doc_id""",
+    "q_dedup_spans_cdc" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+         t AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos1, ws FROM w),
+         x AS (SELECT doc_id, CAST(pos1 AS INT) AS pos, ws[CAST(pos1 AS INT)] AS wd FROM t),
+         f AS (SELECT doc_id, pos, wd,
+           CASE WHEN pos > 1 AND
+             list_reduce(list_prepend(0::BIGINT, list_transform(
+               string_split_regex(wd, ''), c -> ascii(c)::BIGINT)),
+               (acc, x) -> (acc * 31 + x) % 1000000007) % 8 = 0
+           THEN 1 ELSE 0 END AS b FROM x),
+         c AS (SELECT doc_id, pos, wd,
+           sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS cid FROM f),
+         ch AS (SELECT doc_id, cid, min(pos) AS idx,
+           string_agg(wd, ' ' ORDER BY pos) AS chunk FROM c GROUP BY doc_id, cid),
+         k AS (SELECT doc_id, idx, chunk,
+           row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn FROM ch)
+         SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_kept,
+                string_agg(chunk, ' ' ORDER BY idx) AS text_deduped
+         FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
     "q_dedup_spans" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
          c AS (SELECT doc_id, unnest(range(0, greatest(CAST(ceil(len(ws) / 8.0) AS INT), 1))) AS idx, ws FROM w),

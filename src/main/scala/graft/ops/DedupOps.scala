@@ -375,6 +375,52 @@ object DedupOps {
   }
 
   /**
+   * CONTENT-DEFINED span dedup — the alignment-free variant of
+   * [[spanDedup]] (the rsync/FastCDC boundary idea applied to C4-style
+   * corpus dedup): a chunk boundary opens before every word whose portable
+   * hash ≡ 0 (mod avgChunkWords), so boundaries move WITH the content and
+   * a passage duplicated at ANY offset chunks identically — fixed windows
+   * only catch duplicates at the same intra-chunk alignment (spec
+   * demonstrates the difference on a shifted passage). Expected chunk
+   * length is avgChunkWords; the first/last chunk of a shifted duplicate
+   * may still differ (they absorb surrounding context — inherent to CDC),
+   * interior chunks dedup exactly.
+   *
+   * Same output contract as spanDedup: (id, n_kept, text_deduped), pure
+   * duplicates vanish. Scale shape: one word-level explode (id, pos, word
+   * — short scalars), a per-doc window (bounded by document length) for
+   * the running chunk id, then the same content-keyed global
+   * first-occurrence exchange as spanDedup.
+   */
+  def spanDedupCdc(df: DataFrame, idCol: String, textCol: String,
+                   avgChunkWords: Int = 8): DataFrame = {
+    require(avgChunkWords > 0)
+    val wordsTab = df.select(col(idCol).as("id"),
+      posexplode(TextOps.words(col(textCol))).as(Seq("pos", "w")))
+    val flagged = wordsTab.withColumn("b",
+      when(col("pos") > 0 &&
+        pmod(graft.functions.GraftFunctions.poly_hash(col("w")),
+          lit(avgChunkWords.toLong)) === 0, 1).otherwise(0))
+    val wCum = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunks = flagged
+      .withColumn("cid", sum("b").over(wCum))
+      .groupBy("id", "cid")
+      .agg(min("pos").as("idx"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w"))).as("chunk"))
+    val wFirst = Window.partitionBy("chunk").orderBy(col("id"), col("idx"))
+    chunks.withColumn("__rn", row_number().over(wFirst))
+      .filter(col("__rn") === 1)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          s => s.getField("chunk"))).as("text_deduped"))
+  }
+
+  /**
    * Exact n-gram Jaccard pairs within a blocking key (e.g. lang) — all
    * pairs reaching the threshold, found WITHOUT the quadratic in-block
    * self-join, via the two standard lossless set-similarity-join prunes:
