@@ -160,6 +160,9 @@ object Bench {
     queries("dedup_spans") = time2 {
       DedupOps.spanDedup(t("documents"), "doc_id", "text", 8).count()
     }
+    queries("dedup_spans_cdc") = time2 {
+      DedupOps.spanDedupCdc(t("documents"), "doc_id", "text", 8).count()
+    }
     queries("text_analysis") = time2 {
       TextOps.qualityScore(t("documents"))
         .select(col("doc_id"), TextOps.langId(col("text")),
