@@ -115,6 +115,35 @@ object Hashing {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Content-defined word chunks — ≡ the explode + running-sum-window +
+    * regroup formulation spanDedupCdc used through round 4 (pinned in
+    * FunctionsSpec): a chunk boundary opens BEFORE every word at position
+    * > 0 whose polyHash ≡ 0 (mod avgChunkWords), chunks are their words
+    * joined by single spaces. One codegen call per row replaces a
+    * tokens× row explode plus two exchanges (per-doc window + regroup).
+    * Every text yields ≥ 1 chunk ("" for empty input, matching wordsOf's
+    * at-least-one-word contract); expected chunk length is avgChunkWords. */
+  def cdcChunks(s: UTF8String, avgChunkWords: Int): ArrayData = {
+    val ws = wordsOf(s)
+    val out = new java.util.ArrayList[AnyRef](ws.length / math.max(avgChunkWords, 1) + 1)
+    val sb = new java.lang.StringBuilder()
+    var empty = true
+    var i = 0
+    while (i < ws.length) {
+      if (i > 0 && polyHashStr(ws(i)) % avgChunkWords == 0) {
+        out.add(UTF8String.fromString(sb.toString))
+        sb.setLength(0)
+        empty = true
+      }
+      if (!empty) sb.append(' ')
+      sb.append(ws(i))
+      empty = false
+      i += 1
+    }
+    out.add(UTF8String.fromString(sb.toString))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Affine hash family — must match DedupOps.affine. */
   @inline private def affineA(i: Int): Long = 2654435761L % P + 2L * i + 1L
   @inline private def affineB(i: Int): Long = 1013904223L + 7919L * i

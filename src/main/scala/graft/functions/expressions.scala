@@ -355,6 +355,21 @@ case class WordChunksExpr(child: Expression, chunkWords: Int)
     copy(child = c)
 }
 
+/** Content-defined chunks of a text (array<string>), codegen'd — the scan
+  * kernel behind DedupOps.spanDedupCdc; pinned ≡ the explode + window +
+  * regroup reference formulation in FunctionsSpec. */
+case class CdcChunksExpr(child: Expression, avgChunkWords: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Hashing.cdcChunks(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      avgChunkWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.cdcChunks($c, $avgChunkWords)")
+  override protected def withNewChildInternal(c: Expression): CdcChunksExpr =
+    copy(child = c)
+}
+
 case class GenTokensExpr(child: Expression, vocab: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -439,6 +454,7 @@ object GraftFunctions {
     c(AuditTsExpr(ColumnGlue.expression(s), baseEpoch, spanSeconds))
   def shingle_hashes(s: Column, n: Int): Column = c(ShingleHashesExpr(ColumnGlue.expression(s), n))
   def word_chunks(s: Column, chunkWords: Int): Column = c(WordChunksExpr(ColumnGlue.expression(s), chunkWords))
+  def cdc_chunks(s: Column, avgChunkWords: Int): Column = c(CdcChunksExpr(ColumnGlue.expression(s), avgChunkWords))
   def minhash_sig(s: Column, n: Int, k: Int): Column = c(MinHashSigExpr(ColumnGlue.expression(s), n, k))
   def simhash64(s: Column): Column = c(SimHash64Expr(ColumnGlue.expression(s)))
   def simhash_poly(s: Column, bits: Int): Column =

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -29,12 +28,37 @@ object DedupOps {
     pmod(h * lit(2654435761L % P + 2 * i + 1) + lit(1013904223L + 7919L * i), lit(P))
 
   /** Exact dedup: keep the first row (min orderCol) per content key.
-    * One shuffle on the key; window avoids a self-join. */
+    *
+    * SKEW-SAFE plan: `groupBy(key).agg(min(struct(order, payload...)))` —
+    * min over a struct is a DeclarativeAggregate with a PARTIAL phase, so
+    * every map task collapses its local occurrences of a key to ONE row
+    * before the exchange. A `row_number() over (partition by key)` window
+    * would instead ship EVERY occurrence of a hot key (boilerplate chunk,
+    * viral document — the exact inputs dedup exists for) into a single
+    * sorted task: at 10^8 copies of one key that task is the job. Hot keys
+    * here cost each mapper O(1) state and the exchange carries at most
+    * (#partitions) rows per key, whatever the duplication factor.
+    * (Physically it is a SortAggregate — struct buffers aren't hash-agg
+    * mutable — but each mapper sorts only its OWN slice; the partial_min
+    * before the exchange is what kills the skew. DedupOpsSpec asserts the
+    * plan shape.)
+    *
+    * The struct min is ordered by (orderCol, remaining payload), a total
+    * order — ties on orderCol break deterministically on payload instead
+    * of partition arrival order, so the result is partitioning-invariant
+    * (DedupOpsSpec) and identical to the window formulation whenever
+    * orderCol is unique per key (the oracle construction). Payload columns
+    * must be of orderable types (no maps); use a projection first if not.
+    */
   def exactDedup(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val payload = df.columns.filterNot(keyCols.contains)
+    require(payload.contains(orderCol),
+      s"orderCol=$orderCol must be a non-key column of ${df.columns.mkString(",")}")
+    val ordered = struct((orderCol +: payload.filterNot(_ == orderCol)).map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(ordered).as("__first"))
+      .select(df.columns.map(c =>
+        if (keyCols.contains(c)) col(c) else col("__first").getField(c).as(c)): _*)
   }
 
   /** k-minhash signature column (array<long>) over word-`n`-gram shingles.
@@ -346,16 +370,18 @@ object DedupOps {
    *
    * Scale shape: ONE shuffle of the corpus keyed on the chunk content (the
    * global first-occurrence decision is inherently corpus-wide — C4 pays
-   * the same exchange), then a per-doc regroup. Chunks are grouped by
-   * their exact STRINGS, so the result is collision-free and the DuckDB
-   * oracle reproduces it; at 10^11+ chunks, group on a 128-bit fingerprint
-   * of the chunk instead (xxhash64 pair / md5) to shrink the exchange —
-   * same plan, accepted 2^-128 collision odds. Alignment caveat: fixed
+   * the same exchange), map-side-combined so hot chunks never concentrate
+   * (see [[keepFirstAndReassemble]]), then a per-doc regroup. By default
+   * chunks are grouped by their exact STRINGS — collision-free, and the
+   * DuckDB oracle reproduces it; at 10^11+ chunks pass
+   * `fingerprintSpans = true` to group on a 128-bit xxhash64 pair instead
+   * (16-byte exchange keys, accepted ~2^-128 collision odds, reassembly
+   * still carries the chunk text). Alignment caveat: fixed
    * windows only catch duplicates at the same intra-chunk offset —
    * content-delimited chunks (sentences) are alignment-free.
    */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
-                chunkWords: Int = 8): DataFrame = {
+                chunkWords: Int = 8, fingerprintSpans: Boolean = false): DataFrame = {
     require(chunkWords > 0)
     // one codegen kernel call per row (word_chunks ≡ TextOps.wordChunks,
     // FunctionsSpec-pinned): the HOF formulation both interprets its
@@ -364,9 +390,47 @@ object DedupOps {
     val chunked = df.select(col(idCol).as("id"),
       posexplode(graft.functions.GraftFunctions.word_chunks(col(textCol), chunkWords))
         .as(Seq("idx", "chunk")))
-    val w = Window.partitionBy("chunk").orderBy(col("id"), col("idx"))
-    chunked.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    keepFirstAndReassemble(chunked, fingerprintSpans)
+  }
+
+  /**
+   * Shared tail of the span dedups: global first occurrence per chunk,
+   * then per-doc reassembly.
+   *
+   * SKEW-SAFE first occurrence (same reasoning as [[exactDedup]]):
+   * `groupBy(chunk).agg(min(struct(id, idx)))` has a PARTIAL phase, so a
+   * chunk repeated 10^8 times across the corpus (boilerplate — the reason
+   * span dedup exists) is collapsed to one row per map task BEFORE the
+   * content-keyed exchange; the old `row_number() over (partition by
+   * chunk)` window shipped every occurrence into one sorted task. The min
+   * is over (id, idx) — a total order, because (id, idx) is unique — so
+   * the kept occurrence is exactly the window's rank-1 row and the result
+   * is partitioning-invariant.
+   *
+   * `fingerprint = false` groups on the chunk STRING: collision-free, and
+   * the DuckDB oracle reproduces it. `fingerprint = true` groups on a
+   * 128-bit chunk fingerprint (two independent xxhash64 views — distinct
+   * seed-words, so a collision needs BOTH 64-bit hashes to collide:
+   * p ≈ n²/2^129 over n distinct chunks, negligible below ~10^18) while
+   * the chunk text rides the aggregate payload for reassembly. At 10^11+
+   * spans this shrinks the exchange key from ~chunk bytes to 16 bytes;
+   * DedupOpsSpec pins path equality.
+   */
+  private def keepFirstAndReassemble(chunked: DataFrame,
+                                     fingerprint: Boolean): DataFrame = {
+    val firsts =
+      if (fingerprint)
+        chunked.groupBy(
+            xxhash64(col("chunk")).as("__fp1"),
+            xxhash64(lit(0x9E3779B97F4A7C15L), col("chunk")).as("__fp2"))
+          .agg(min(struct(col("id"), col("idx"), col("chunk"))).as("__f"))
+          .select(col("__f.id").as("id"), col("__f.idx").as("idx"),
+            col("__f.chunk").as("chunk"))
+      else
+        chunked.groupBy("chunk")
+          .agg(min(struct(col("id"), col("idx"))).as("__f"))
+          .select(col("__f.id").as("id"), col("__f.idx").as("idx"), col("chunk"))
+    firsts
       .groupBy("id")
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", transform(
@@ -387,37 +451,23 @@ object DedupOps {
    * interior chunks dedup exactly.
    *
    * Same output contract as spanDedup: (id, n_kept, text_deduped), pure
-   * duplicates vanish. Scale shape: one word-level explode (id, pos, word
-   * — short scalars), a per-doc window (bounded by document length) for
-   * the running chunk id, then the same content-keyed global
-   * first-occurrence exchange as spanDedup.
+   * duplicates vanish. Scale shape: IDENTICAL to spanDedup — chunking is
+   * one codegen `cdc_chunks` kernel call per row (boundary rule fused into
+   * the scan; FunctionsSpec pins it ≡ the explode + running-sum-window +
+   * regroup formulation, which paid a tokens× row multiplication, a
+   * per-doc window and a collect_list regroup — two exchanges — for what
+   * is per-row arithmetic), then the skew-safe content-keyed global
+   * first-occurrence exchange. The chunk-sequence index from posexplode
+   * orders chunks exactly like the old min-word-pos idx (both are
+   * monotone in document order), so results are unchanged.
    */
   def spanDedupCdc(df: DataFrame, idCol: String, textCol: String,
-                   avgChunkWords: Int = 8): DataFrame = {
+                   avgChunkWords: Int = 8, fingerprintSpans: Boolean = false): DataFrame = {
     require(avgChunkWords > 0)
-    val wordsTab = df.select(col(idCol).as("id"),
-      posexplode(TextOps.words(col(textCol))).as(Seq("pos", "w")))
-    val flagged = wordsTab.withColumn("b",
-      when(col("pos") > 0 &&
-        pmod(graft.functions.GraftFunctions.poly_hash(col("w")),
-          lit(avgChunkWords.toLong)) === 0, 1).otherwise(0))
-    val wCum = Window.partitionBy("id").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val chunks = flagged
-      .withColumn("cid", sum("b").over(wCum))
-      .groupBy("id", "cid")
-      .agg(min("pos").as("idx"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("w")))),
-          s => s.getField("w"))).as("chunk"))
-    val wFirst = Window.partitionBy("chunk").orderBy(col("id"), col("idx"))
-    chunks.withColumn("__rn", row_number().over(wFirst))
-      .filter(col("__rn") === 1)
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("idx"), col("chunk")))),
-          s => s.getField("chunk"))).as("text_deduped"))
+    val chunked = df.select(col(idCol).as("id"),
+      posexplode(graft.functions.GraftFunctions.cdc_chunks(col(textCol), avgChunkWords))
+        .as(Seq("idx", "chunk")))
+    keepFirstAndReassemble(chunked, fingerprintSpans)
   }
 
   /**

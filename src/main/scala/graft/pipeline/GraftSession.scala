@@ -27,16 +27,20 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // Sink-write I/O (PerfLab sinkab, interleaved best-of-3 at 10^6 rows):
       // committer v2 renames task files in the tasks instead of serially on
-      // the driver at job commit (9.4 → 8.2 s headline), and lz4 trades a
-      // few % of parquet compression ratio for a faster encode than snappy
-      // (→ 7.6 s combined). v2's caveat — a job failed MID-COMMIT can leave
+      // the driver at job commit (9.4 → 8.2 s headline), and lz4_raw trades
+      // a few % of parquet compression ratio for a faster encode than snappy
+      // (→ 7.6 s combined; lz4_raw is the spec-standard LZ4 block encoding —
+      // plain "lz4" writes deprecated Hadoop-framed LZ4 that external
+      // readers such as older Arrow/DuckDB/Presto cannot decode, so sink
+      // files would only be readable by Spark). v2's caveat — a job failed
+      // MID-COMMIT can leave
       // partial files visible — is covered here by the engine's idempotent
       // write protocol: every sink writes mode("overwrite") into per-run
       // (or per-batch, with completion markers) directories, so a re-run
       // replaces partial output wholesale. Flip codec to zstd when sink
       // storage cost outweighs write CPU.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.sql.parquet.compression.codec", "lz4")
+      .config("spark.sql.parquet.compression.codec", "lz4_raw")
       // oracle parity + deterministic goldens
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

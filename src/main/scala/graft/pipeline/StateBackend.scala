@@ -81,10 +81,19 @@ final class CatalogStateBackend(
   // Committed version, memoized per backend instance: read from the table
   // ONCE (first use), incremented locally afterwards — a per-commit
   // max(snapshot_id) scan would make commit O(state) instead of O(batch).
-  // Single-writer assumption, same as the snapshot store's pointer file;
-  // concurrent writers belong to the table format's own transaction layer
-  // (Iceberg/Delta), not this seam. -2 = not yet read, -1 = empty table.
+  // SINGLE-WRITER assumption, same as the snapshot store's pointer file:
+  // a second concurrent writer (or second backend instance) would mint the
+  // same snapshot_id. Concurrent-writer resolution belongs to the table
+  // format's own transaction layer (Iceberg/Delta), not this seam — with
+  // multiple writers, use a lakehouse format whose commit protocol rejects
+  // the losing append. -2 = not yet read, -1 = empty table.
   @volatile private var lastVersion: Int = -2
+  // Live row count, memoized per committed version (the snapshot store's
+  // liveRowCount pattern): without this, a streaming loop with
+  // bloomPruneThreshold >= 0 fires an O(state) count job per micro-batch
+  // for a number that only changes on commit.
+  @volatile private var cachedCount: Long = -1L
+  @volatile private var cachedCountVersion: Int = Int.MinValue
 
   private def exists(spark: SparkSession): Boolean = spark.catalog.tableExists(table)
 
@@ -92,8 +101,12 @@ final class CatalogStateBackend(
     if (lastVersion == -2) {
       lastVersion =
         if (!exists(spark)) -1
+        // getAs[Number]: a pre-existing table may carry snapshot_id as
+        // long (e.g. written by another engine) — getInt on a LongType
+        // row value throws ClassCastException
         else spark.table(table)
-          .agg(coalesce(max("snapshot_id"), lit(-1))).head().getInt(0)
+          .agg(coalesce(max("snapshot_id"), lit(-1))).head()
+          .getAs[Number](0).intValue()
     }
     lastVersion
   }
@@ -130,13 +143,28 @@ final class CatalogStateBackend(
     else if (exists(spark)) rows.writeTo(table).append()
     else rows.writeTo(table).using(format)
       .partitionedBy(col("snapshot_id")).create()
+    val committed = spark.table(table).filter(col("snapshot_id") === next).count()
+    // roll the memoized count forward by exactly the delta just written —
+    // the next sizeHint call is then free (no table scan)
+    if (cachedCountVersion == lastVersion && cachedCount >= 0L)
+      cachedCount += committed
+    else cachedCount = -1L
     lastVersion = next
-    spark.table(table).filter(col("snapshot_id") === next).count()
+    if (cachedCount >= 0L) cachedCountVersion = next
+    committed
   }
 
-  /** Raw table row count — metadata-cheap for parquet/Iceberg tables. */
-  override def sizeHint(spark: SparkSession): Long =
-    if (!exists(spark)) 0L else spark.table(table).count()
+  /** Raw table row count — metadata-cheap for parquet/Iceberg tables, and
+    * memoized per committed version so repeated calls between commits
+    * (e.g. the bloom-threshold read every micro-batch) cost zero jobs. */
+  override def sizeHint(spark: SparkSession): Long = {
+    val v = version(spark)
+    if (cachedCountVersion != v || cachedCount < 0L) {
+      cachedCount = if (!exists(spark)) 0L else spark.table(table).count()
+      cachedCountVersion = v
+    }
+    cachedCount
+  }
 
   override def currentVersion: Option[Int] =
     if (lastVersion >= 0) Some(lastVersion) else None

@@ -173,7 +173,7 @@ object Transport {
       .format(java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC))
     val auth = OmsSignature.buildSignature(workspaceId, sharedKeyB64, date,
       bytes.length.toLong)
-    val conn = new java.net.URL(endpoint).openConnection()
+    val conn = java.net.URI.create(endpoint).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     try {
       conn.setRequestMethod("POST")

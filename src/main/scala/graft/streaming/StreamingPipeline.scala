@@ -75,9 +75,10 @@ object StreamingPipeline {
           val fresh =
             if (cfg.skipKnownLogs)
               // when the (opt-in) bloom prune is on, its threshold decision
-              // reads the backend's sizeHint — memoized per snapshot for
-              // the store (incremental delta counts), so no full state
-              // count per micro-batch
+              // reads the backend's sizeHint — memoized per committed
+              // version in BOTH backends (SnapshotStateBackend via
+              // liveRowCount, CatalogStateBackend via cachedCount), so no
+              // full state count per micro-batch
               StateStore.dedup(batch, backend.load(spark, cfg.nowEpochSec),
                 withinBatch = cfg.dedupWithinRun,
                 bloomPruneThreshold = cfg.bloomPruneThreshold,

@@ -50,6 +50,42 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("cdc_chunks ≡ the explode + running-sum-window + regroup reference formulation") {
+    // the formulation spanDedupCdc used through round 4 (and the one the
+    // DuckDB oracle q_dedup_spans_cdc still reproduces): boundary BEFORE
+    // every pos>0 word with polyHash ≡ 0 (mod avg), chunks = words of a
+    // boundary-run joined by ' ', in document order
+    import org.apache.spark.sql.expressions.Window
+    val edge = Seq("\thello world there are many words here\n", "solo", "",
+      "  spaced  ", "a😀b c d e f g h i", "x\t", "中文 字 test word five six")
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    for (base <- Seq(docs.select("doc_id", "text"), edge); avg <- Seq(3, 8)) {
+      val kernel = base.select(col("doc_id"),
+        cdc_chunks(col("text"), avg).as("a"))
+      val flagged = base
+        .select(col("doc_id"), posexplode(TextOps.words(col("text"))).as(Seq("pos", "w")))
+        .withColumn("b",
+          when(col("pos") > 0 &&
+            pmod(poly_hash(col("w")), lit(avg.toLong)) === 0, 1).otherwise(0))
+      val wCum = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ref = flagged
+        .withColumn("cid", sum("b").over(wCum))
+        .groupBy("doc_id", "cid")
+        .agg(min("pos").as("idx"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            s => s.getField("w"))).as("chunk"))
+        .groupBy("doc_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          s => s.getField("chunk")).as("b"))
+      val diff = kernel.join(ref, Seq("doc_id"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff === 0, s"kernel/reference divergence at avgChunkWords=$avg")
+    }
+  }
+
   test("audit kernels ≡ the Column-arithmetic reference formulations") {
     import graft.pipeline.{Parse, Schemas}
     val ids = graft.pipeline.DataGen.sequences(spark, 5000L, 4).select("doc_id")

@@ -16,6 +16,51 @@ class DedupOpsSpec extends SparkSuite {
     assert(got === Array(1L, 3L, 5L))
   }
 
+  test("exactDedup payload comes from the WINNING row, never stitched across rows") {
+    // min(id) + min(v) computed independently would emit (1, "x", "b") —
+    // the struct-min must carry the whole winning row
+    val df = Seq((2L, "x", "b"), (1L, "x", "z"), (3L, "y", "c"))
+      .toDF("id", "k", "v")
+    val got = DedupOps.exactDedup(df, Seq("k"), "id")
+      .select("id", "k", "v").as[(Long, String, String)].collect().toSet
+    assert(got === Set((1L, "x", "z"), (3L, "y", "c")))
+    // and under repartitioning (partial/final merge across mappers)
+    val got7 = DedupOps.exactDedup(df.repartition(7), Seq("k"), "id")
+      .select("id", "k", "v").as[(Long, String, String)].collect().toSet
+    assert(got7 === got)
+  }
+
+  test("first-occurrence dedups are map-side combinable: partial_min, no content-key window sort") {
+    // VERDICT r4 #1: a row_number() window over the content key ships
+    // EVERY occurrence of a hot key (boilerplate chunk, viral duplicate)
+    // into one sorted task — the groupBy min(struct) plan must show a
+    // partial aggregate before the exchange and zero window operators
+    val plans = Seq(
+      "exactDedup" -> DedupOps.exactDedup(
+        docs.select("doc_id", "text", "lang"), Seq("text"), "doc_id"),
+      "spanDedup" -> DedupOps.spanDedup(docs, "doc_id", "text", 8),
+      "spanDedupCdc" -> DedupOps.spanDedupCdc(docs, "doc_id", "text", 8),
+      "spanDedup_fp" -> DedupOps.spanDedup(docs, "doc_id", "text", 8,
+        fingerprintSpans = true))
+    for ((name, q) <- plans) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("partial_min"),
+        s"$name: no map-side partial min before the exchange:\n$p")
+      assert(!p.contains("Window"),
+        s"$name: content-key window sort leaked back into the plan:\n$p")
+    }
+  }
+
+  test("span dedup fingerprint path ≡ string path (spanDedup and spanDedupCdc)") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] =
+      df.select("id", "n_kept", "text_deduped")
+        .as[(Long, Long, String)].collect().toSet
+    assert(rows(DedupOps.spanDedup(docs, "doc_id", "text", 8, fingerprintSpans = true))
+      === rows(DedupOps.spanDedup(docs, "doc_id", "text", 8)))
+    assert(rows(DedupOps.spanDedupCdc(docs, "doc_id", "text", 8, fingerprintSpans = true))
+      === rows(DedupOps.spanDedupCdc(docs, "doc_id", "text", 8)))
+  }
+
   test("minhash LSH pairs are a subset of exact Jaccard pairs (zero false positives)") {
     val exact = DedupOps.ngramJaccardPairs(
         docs.withColumn("blk", lit(1)), "doc_id", "text", "blk", 2, 60)
