@@ -248,6 +248,21 @@ object SparkEntry {
         .select("doc_id", "dup_2gram_frac_x1000", "dup_3gram_frac_x1000")
         .orderBy("doc_id")),
 
+    "q_text_repetition_gopher" -> ((s, d) => {
+      // the rest of the Gopher A1.1 family: duplicate-line fractions +
+      // top-n-gram char fractions. Corpus documents are single-line, so
+      // synthesize multi-line text with one planted duplicate line per doc
+      // (same oracle-side construction) to keep the line signals live.
+      val ml = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"), col("text"),
+          concat(lit("unique "), col("doc_id"))).as("text"))
+      TextOps.gopherRepetition(ml)
+        .select("doc_id", "dup_line_frac_x1000", "dup_line_char_frac_x1000",
+          "top_2gram_char_frac_x1000", "top_3gram_char_frac_x1000",
+          "top_4gram_char_frac_x1000")
+        .orderBy("doc_id")
+    }),
+
     "q_text_langid" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("lang_pred"))
@@ -899,6 +914,43 @@ object SparkEntry {
            CAST(1000 - floor(len(g2) * 1000.0 / t2) AS BIGINT) AS dup_2gram_frac_x1000,
            CAST(1000 - floor(len(g3) * 1000.0 / t3) AS BIGINT) AS dup_3gram_frac_x1000
          FROM g ORDER BY doc_id""",
+    "q_text_repetition_gopher" ->
+      """WITH p AS (SELECT doc_id,
+           text || chr(10) || text || chr(10) || 'unique ' || CAST(doc_id AS VARCHAR) AS text
+         FROM documents),
+         l AS (SELECT doc_id, string_split(text, chr(10)) AS ls,
+                      string_split_regex(trim(text), '\s+') AS ws FROM p),
+         lc AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS ln
+                FROM (SELECT doc_id, unnest(ls) AS line FROM l) GROUP BY doc_id, line),
+         lstat AS (SELECT doc_id, sum((cnt - 1) * ln) AS dupc, sum(cnt * ln) AS totc,
+                          sum(cnt) AS nl, count(*) AS dl FROM lc GROUP BY doc_id),
+         g2 AS (SELECT doc_id, max(cnt * length(g)) AS sc FROM (
+             SELECT doc_id, g, count(*) AS cnt FROM (
+               SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+                 THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                 ELSE [array_to_string(ws, ' ')] END) AS g FROM l) GROUP BY doc_id, g)
+           GROUP BY doc_id),
+         g3 AS (SELECT doc_id, max(cnt * length(g)) AS sc FROM (
+             SELECT doc_id, g, count(*) AS cnt FROM (
+               SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+                 THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                 ELSE [array_to_string(ws, ' ')] END) AS g FROM l) GROUP BY doc_id, g)
+           GROUP BY doc_id),
+         g4 AS (SELECT doc_id, max(cnt * length(g)) AS sc FROM (
+             SELECT doc_id, g, count(*) AS cnt FROM (
+               SELECT doc_id, unnest(CASE WHEN len(ws) >= 4
+                 THEN list_transform(range(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+                 ELSE [array_to_string(ws, ' ')] END) AS g FROM l) GROUP BY doc_id, g)
+           GROUP BY doc_id)
+         SELECT l.doc_id,
+           CAST(1000 - floor(lstat.dl * 1000.0 / greatest(lstat.nl, 1)) AS BIGINT) AS dup_line_frac_x1000,
+           CAST(floor(lstat.dupc * 1000.0 / greatest(lstat.totc, 1)) AS BIGINT) AS dup_line_char_frac_x1000,
+           CAST(CASE WHEN len(l.ws) < 2 THEN 0 ELSE floor(g2.sc * 1000.0 / greatest(length(array_to_string(l.ws, ' ')), 1)) END AS BIGINT) AS top_2gram_char_frac_x1000,
+           CAST(CASE WHEN len(l.ws) < 3 THEN 0 ELSE floor(g3.sc * 1000.0 / greatest(length(array_to_string(l.ws, ' ')), 1)) END AS BIGINT) AS top_3gram_char_frac_x1000,
+           CAST(CASE WHEN len(l.ws) < 4 THEN 0 ELSE floor(g4.sc * 1000.0 / greatest(length(array_to_string(l.ws, ' ')), 1)) END AS BIGINT) AS top_4gram_char_frac_x1000
+         FROM l JOIN lstat USING (doc_id) JOIN g2 USING (doc_id)
+                JOIN g3 USING (doc_id) JOIN g4 USING (doc_id)
+         ORDER BY doc_id""",
     "q_text_langid" ->
       """WITH w AS (SELECT doc_id, lang,
              list_distinct(string_split_regex(trim(text), '\s+')) AS dw FROM documents)

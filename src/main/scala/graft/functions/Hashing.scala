@@ -144,6 +144,41 @@ object Hashing {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Max over distinct word n-grams of (occurrences × char length) — the
+    * Gopher top-n-gram repetition signal's numerator, one hash-count pass
+    * per row. ≡ TextOps.topNgramScoreRef (HOF, O(distinct·total)); char
+    * length counts CODE POINTS, matching Spark's length() and DuckDB's
+    * length(). Texts with fewer than n words have NO n-gram, so they score
+    * 0 — the whole-text padding other kernels use would mis-score every
+    * short doc as 100% repetitive. */
+  def topNgramScore(s: UTF8String, n: Int): Long = {
+    val ws = wordsOf(s)
+    if (ws.length < n) return 0L
+    val count = ws.length - n + 1
+    val counts = new java.util.HashMap[String, Integer](count * 2)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n && i + j < ws.length) {
+        if (j > 0) sb.append(' ')
+        sb.append(ws(i + j))
+        j += 1
+      }
+      counts.merge(sb.toString, 1, (a, b) => a + b)
+      i += 1
+    }
+    var best = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val g = e.getKey
+      val score = e.getValue.toLong * g.codePointCount(0, g.length)
+      if (score > best) best = score
+    }
+    best
+  }
+
   /** Affine hash family — must match DedupOps.affine. */
   @inline private def affineA(i: Int): Long = 2654435761L % P + 2L * i + 1L
   @inline private def affineB(i: Int): Long = 1013904223L + 7919L * i

@@ -370,6 +370,20 @@ case class CdcChunksExpr(child: Expression, avgChunkWords: Int)
     copy(child = c)
 }
 
+/** Gopher top-n-gram repetition numerator (long), codegen'd — one
+  * hash-count pass per row; pinned ≡ TextOps.topNgramScoreRef in
+  * FunctionsSpec. */
+case class TopNgramScoreExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Hashing.topNgramScore(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.topNgramScore($c, $n)")
+  override protected def withNewChildInternal(c: Expression): TopNgramScoreExpr =
+    copy(child = c)
+}
+
 case class GenTokensExpr(child: Expression, vocab: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -455,6 +469,7 @@ object GraftFunctions {
   def shingle_hashes(s: Column, n: Int): Column = c(ShingleHashesExpr(ColumnGlue.expression(s), n))
   def word_chunks(s: Column, chunkWords: Int): Column = c(WordChunksExpr(ColumnGlue.expression(s), chunkWords))
   def cdc_chunks(s: Column, avgChunkWords: Int): Column = c(CdcChunksExpr(ColumnGlue.expression(s), avgChunkWords))
+  def top_ngram_score(s: Column, n: Int): Column = c(TopNgramScoreExpr(ColumnGlue.expression(s), n))
   def minhash_sig(s: Column, n: Int, k: Int): Column = c(MinHashSigExpr(ColumnGlue.expression(s), n, k))
   def simhash64(s: Column): Column = c(SimHash64Expr(ColumnGlue.expression(s)))
   def simhash_poly(s: Column, bits: Int): Column =

@@ -128,12 +128,19 @@ object SimilarityOps {
    * The bucket-local self-join is quadratic in occupancy, so a FIXED bits
    * at growing n is a disguised near-cartesian: a naive caller at 10^9
    * vectors with bits=8 would get ~4M-row buckets and a 10^13-pair join.
-   * Costs one count() of the corpus; pass explicit bits to skip it.
+   * Autoscale costs one count() of the corpus PER CALL — a probe service
+   * invoking this per query batch should pass `knownCorpusSize` (the
+   * `knownSizeHint` pattern from StateStore.dedup: measure once, reuse) or
+   * explicit bits; SimilarityOpsSpec asserts the hint path runs zero
+   * pre-action jobs.
    */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, bits: Int = 0, tables: Int = 4): DataFrame = {
+              k: Int, bits: Int = 0, tables: Int = 4,
+              knownCorpusSize: Long = -1L): DataFrame = {
     val src = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val b0 = if (bits > 0) bits else occupancyBits(src.count())
+    val b0 =
+      if (bits > 0) bits
+      else occupancyBits(if (knownCorpusSize >= 0L) knownCorpusSize else src.count())
     val signed = src.select(col("id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"), tableSignature(col("v"), b0, t).as("sig"))): _*))
@@ -494,13 +501,18 @@ object SimilarityOps {
    * vectors back from a column-pruned scan. `bits <= 0` (the default)
    * derives the signature width from the corpus size so bucket occupancy —
    * and therefore the quadratic bucket-local join — stays bounded as the
-   * corpus grows (costs one count() of the corpus).
+   * corpus grows (costs one count() of the corpus per call; pass
+   * `knownCorpusSize` to reuse a size measured once, as in lshTopK).
    */
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                         minCosine: Double, bits: Int = 0,
-                        targetOccupancy: Int = 32): DataFrame = {
+                        targetOccupancy: Int = 32,
+                        knownCorpusSize: Long = -1L): DataFrame = {
     val src = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val b0 = if (bits > 0) bits else occupancyBits(src.count(), targetOccupancy)
+    val b0 =
+      if (bits > 0) bits
+      else occupancyBits(
+        if (knownCorpusSize >= 0L) knownCorpusSize else src.count(), targetOccupancy)
     val signed = src.select(col("id"),
       graft.functions.GraftFunctions.lsh_signature(col("v"), b0).as("sig"))
     val a = signed.select(col("sig"), col("id").as("id_a"))

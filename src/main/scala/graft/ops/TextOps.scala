@@ -157,6 +157,62 @@ object TextOps {
     }
 
   /**
+   * The REST of the MassiveText/Gopher repetition family (Rae et al. 2021
+   * appendix A1.1), completing [[repetitionStats]]' dup-n-gram fractions:
+   *
+   *  - `dup_line_frac_x1000`     — 1000·(1 − distinct/total lines): the
+   *    duplicate-LINE fraction (navigation chrome, cookie banners);
+   *  - `dup_line_char_frac_x1000` — 1000·(chars in repeat occurrences of a
+   *    line / total line chars): catches one long boilerplate line among
+   *    many short unique ones, which the count-based fraction understates;
+   *  - `top_{n}gram_char_frac_x1000` for n in `topNs` — 1000·(occurrences
+   *    of the most-repeated word n-gram × its char length / chars of the
+   *    whitespace-normalized text): TEMPLATE churn where no full line or
+   *    chunk repeats exactly. Computed by the codegen `top_ngram_score`
+   *    kernel — one hash-count pass per row (the HOF formulation is
+   *    O(distinct·total) interpreted per element; FunctionsSpec pins
+   *    equality). Note overlapping occurrences each count their full char
+   *    span, so the fraction can exceed 1000 on degenerate inputs
+   *    ("a a a a"); Gopher treats these as "drop" anyway. Texts with
+   *    fewer than n words score 0 (no n-gram exists).
+   *
+   * All ×1000 integer-exact, lines split on '\n' (kept as-is, empties
+   * included — both engines' split semantics agree), so the DuckDB oracle
+   * reproduces every column. Scan-speed: no shuffle, no explode.
+   */
+  def gopherRepetition(df: DataFrame, textCol: String = "text",
+                       topNs: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val total = greatest(size(lines), lit(1))
+    val lineChars = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
+    val dupChars = aggregate(array_distinct(lines), lit(0L),
+      (acc, l) => acc + (size(filter(lines, x => x === l)) - 1).cast("long") * length(l))
+    val base = df
+      .withColumn("dup_line_frac_x1000",
+        (lit(1000L) - floor(size(array_distinct(lines)) * lit(1000L) / total)).cast("long"))
+      .withColumn("dup_line_char_frac_x1000",
+        floor(dupChars * lit(1000L) / greatest(lineChars, lit(1L))).cast("long"))
+    topNs.foldLeft(base) { (acc, n) =>
+      val normLen = greatest(length(concat_ws(" ", words(t))), lit(1))
+      acc.withColumn(s"top_${n}gram_char_frac_x1000",
+        floor(graft.functions.GraftFunctions.top_ngram_score(t, n) * lit(1000L) / normLen)
+          .cast("long"))
+    }
+  }
+
+  /** HOF reference for the `top_ngram_score` kernel (semantic spec only —
+    * O(distinct·total) interpreted per element; FunctionsSpec pins
+    * bit-equality): max over distinct word n-grams of
+    * occurrences × char length. */
+  def topNgramScoreRef(text: Column, n: Int): Column = {
+    val grams = wordNgrams(text, n)
+    when(size(words(text)) < n, lit(0L)) // no n-gram exists → 0, not the padded whole text
+      .otherwise(aggregate(array_distinct(grams), lit(0L), (acc, g) =>
+        greatest(acc, size(filter(grams, x => x === g)).cast("long") * length(g))))
+  }
+
+  /**
    * Language ID by stopword voting: distinct-word overlap with each
    * language's stopword list; argmax with deterministic tie-break on the
    * fixed language order (en, de, fr, es, zh). `greatest`-free formulation:

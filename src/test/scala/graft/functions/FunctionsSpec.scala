@@ -86,6 +86,18 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("top_ngram_score ≡ TextOps.topNgramScoreRef (HOF) incl. edges") {
+    val edge = Seq("a b a b a b a b c", "", "solo", "  spaced  out  ",
+      "a😀b a😀b a😀b", "x y x y x y", "中文 字 中文 字").toDF("text")
+    for (df <- Seq(docs.select("text"), edge); n <- Seq(2, 3, 4)) {
+      val diff = df.select(
+        graft.functions.GraftFunctions.top_ngram_score(col("text"), n).as("a"),
+        TextOps.topNgramScoreRef(col("text"), n).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff === 0, s"kernel/HOF divergence at n=$n")
+    }
+  }
+
   test("audit kernels ≡ the Column-arithmetic reference formulations") {
     import graft.pipeline.{Parse, Schemas}
     val ids = graft.pipeline.DataGen.sequences(spark, 5000L, 4).select("doc_id")

@@ -111,6 +111,27 @@ class TextOpsSpec extends SparkSuite {
     assert(got(3) === ((0L, 0L)))
   }
 
+  test("gopherRepetition: planted duplicate lines and repeated n-grams score exactly") {
+    // lines: ["a b a b", "a b a b", "c"] — one duplicated 7-char line;
+    // normalized words: a b a b a b a b c (17 chars incl. spaces)
+    val df = Seq((1L, "a b a b\na b a b\nc"), (2L, ""), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRepetition(df)
+      .select("doc_id", "dup_line_frac_x1000", "dup_line_char_frac_x1000",
+        "top_2gram_char_frac_x1000", "top_3gram_char_frac_x1000",
+        "top_4gram_char_frac_x1000")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // dup_line: 1000 - floor(2*1000/3) = 334; dup chars: 7 of 15 → 466
+    // top 2-gram "a b" ×4 × 3 chars = 12 → floor(12000/17) = 705
+    // top 3-gram "a b a" ×3 × 5 = 15 → 882
+    // top 4-gram "a b a b" ×3 × 7 = 21 → 1235: overlapping occurrences
+    //   legitimately exceed 1000 (documented; Gopher drops these anyway)
+    assert(got(0) === ((1L, 334L, 466L, 705L, 882L, 1235L)))
+    // empty + single-word docs: all signals zero, never an error
+    assert(got(1) === ((2L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(2) === ((3L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("qualityScore emits exact integer signals") {
     val row = TextOps.qualityScore(Seq("the the cat sat!").toDF("text"))
       .select("n_chars2", "n_words", "distinct_ratio_x1000", "n_punct", "stopword_hits")
