@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
  *  - [[CatalogStateBackend]] — a real catalog table via the V2
  *    `writeTo(table)` API. Against the built-in session catalog it writes a
  *    parquet table (exercised by CatalogStateSpec — an actual
- *    catalog-backed run, not a compile-only adapter); with Iceberg or
- *    Delta jars on the classpath the SAME code targets
+ *    catalog-backed run, not a compile-only adapter); the V2
+ *    `.create()/.append()` branch runs under test against the in-repo
+ *    [[graft.catalog.InMemoryTableCatalog]] (a minimal DSv2 TableCatalog),
+ *    and with Iceberg or Delta jars on the classpath the SAME code targets
  *    `writeTo("cat.db.known_content")` and inherits real snapshot
  *    isolation/time travel from the table format. Format is auto-detected
  *    ([[CatalogStateBackend.defaultFormat]]), never assumed.
