@@ -163,6 +163,13 @@ object Bench {
     queries("dedup_spans_cdc") = time2 {
       DedupOps.spanDedupCdc(t("documents"), "doc_id", "text", 8).count()
     }
+    // fingerprint variant: exchange keyed on a 16-byte xxhash64 pair
+    // instead of chunk strings — the 10^11+-span configuration; at this SF
+    // the key-size saving is noise, the metric documents it costs nothing
+    queries("dedup_spans_fp") = time2 {
+      DedupOps.spanDedup(t("documents"), "doc_id", "text", 8,
+        fingerprintSpans = true).count()
+    }
     queries("text_analysis") = time2 {
       TextOps.qualityScore(t("documents"))
         .select(col("doc_id"), TextOps.langId(col("text")),
