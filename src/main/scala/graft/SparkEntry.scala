@@ -349,6 +349,35 @@ object SparkEntry {
           Map("en" -> 500, "de" -> 250, "zh" -> 100), defaultPerMille = 1000)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    "q_shuffle_shards" -> ((s, d) =>
+      // deterministic global shuffle: hash-shard + in-shard rank, the
+      // pre-training corpus randomization (reproducible, no RNG state)
+      TrainingOps.shuffleShards(t(s, d, "documents"), "doc_id", 8)
+        .select(col("doc_id"), col("shard").cast("int").as("shard"), col("pos"))
+        .orderBy("doc_id")),
+
+    "q_sample_temperature" -> ((s, d) =>
+      // temperature-flattened domain mixture (alpha=0.5): per-language
+      // quotas proportional to sqrt(n), deterministic hash-threshold keep
+      TrainingOps.temperatureSample(t(s, d, "documents"), "doc_id", "lang",
+          targetTotal = 2000)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    "q_url_canonical" -> ((s, d) => {
+      // crawl-corpus URL normalization before URL-level dedup; the corpus
+      // has no URL column, so synthesize messy-but-real-shaped URLs (same
+      // construction oracle-side) and check the canonical string byte-exact
+      val urls = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("HTTPS://WWW.Example"),
+          pmod(col("doc_id"), lit(50)).cast("string"),
+          lit(".com:443/Path/"), col("doc_id").cast("string"),
+          lit("?id="), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit("&utm_source=feed&utm_campaign=X#Frag")).as("url"))
+      urls.select(col("doc_id"), col("url"),
+          TextOps.canonicalizeUrl(col("url")).as("url_canonical"))
+        .orderBy("doc_id")
+    }),
+
     "q_decontaminate" -> ((s, d) => {
       // GPT-3-style test-set decontamination: docs sharing any word bigram
       // with a (deterministic pseudo-)eval subset, with distinct-overlap
@@ -1014,6 +1043,37 @@ object SparkEntry {
            CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'zh' THEN 100
                      ELSE 1000 END
          ORDER BY doc_id""",
+    "q_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id,
+           ((doc_id % 1000000007) * 654435830 + 1014228902) % 1000000007 AS hh
+         FROM documents)
+         SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
+         FROM h ORDER BY doc_id""",
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS w FROM c),
+         t AS (SELECT sum(w) AS tw FROM w),
+         q AS (SELECT lang, n, least(n, CAST(floor(CAST(2000 AS DOUBLE) * w / tw) AS BIGINT)) AS quota FROM w, t)
+         SELECT d.doc_id, d.lang FROM documents d JOIN q ON d.lang = q.lang
+         WHERE ((d.doc_id % 1000000007) * 654435862 + 1014355606) % 1000000007 % q.n < q.quota
+         ORDER BY d.doc_id""",
+    "q_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+           'HTTPS://WWW.Example' || CAST(doc_id % 50 AS VARCHAR) || '.com:443/Path/' ||
+           CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id % 7 AS VARCHAR) ||
+           '&utm_source=feed&utm_campaign=X#Frag' AS url FROM documents),
+         s1 AS (SELECT doc_id, url,
+           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) ||
+           substr(url, length(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1) AS c FROM u),
+         s2 AS (SELECT doc_id, url, regexp_replace(c, '#.*$', '', 'g') AS c FROM s1),
+         s3 AS (SELECT doc_id, url, regexp_replace(c, '(utm_[a-z]+|fbclid|gclid)=[^&]*&', '', 'g') AS c FROM s2),
+         s4 AS (SELECT doc_id, url, regexp_replace(c, '[?&](utm_[a-z]+|fbclid|gclid)=[^&]*$', '') AS c FROM s3),
+         s5 AS (SELECT doc_id, url, regexp_replace(c, '\?&', '?', 'g') AS c FROM s4),
+         s6 AS (SELECT doc_id, url, regexp_replace(c, '^([a-z][a-z0-9+.-]*://[^/?#:]*):(80|443)([/?]|$)', '\1\3') AS c FROM s5),
+         s7 AS (SELECT doc_id, url, regexp_replace(c, '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS c FROM s6)
+         SELECT doc_id, url, regexp_replace(c, '/$', '') AS url_canonical
+         FROM s7 ORDER BY doc_id""",
     "q_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
          s AS (SELECT doc_id, ${shingleSetSql("ws")} AS sh FROM w),

@@ -137,6 +137,45 @@ object TextOps {
           Ipv4Re, "<IP>"))
 
   /**
+   * URL canonicalization — the crawl-corpus normalization pass before
+   * URL-level dedup and domain filtering (the same page arrives as
+   * `HTTPS://WWW.Example.com:443/p/?utm_source=feed#top` and
+   * `https://example.com/p`). Steps, in order:
+   *
+   *  1. lowercase the scheme and host (ONLY — paths are case-sensitive);
+   *  2. strip the fragment (`#...` never reaches the server);
+   *  3. strip tracking query params (utm_*, fbclid, gclid) and any
+   *     dangling `?`/`&` they leave behind;
+   *  4. strip explicit default ports (`:80`, `:443`);
+   *  5. strip a leading `www.`;
+   *  6. strip a single trailing slash.
+   *
+   * Like [[redactPii]], every pattern stays in the regex subset Java and
+   * RE2 (DuckDB) interpret identically — ASCII classes, alternation,
+   * anchors, numbered backreferences — so the oracle reproduces the
+   * canonical string byte-for-byte. Scan-speed column function.
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val schemeHostRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    val schemeHost = regexp_extract(url, schemeHostRe, 0)
+    val lowered = concat(lower(schemeHost), expr_substrAfter(url, schemeHost))
+    val noFrag = regexp_replace(lowered, "#.*$", "")
+    val noTrk1 = regexp_replace(noFrag, "(utm_[a-z]+|fbclid|gclid)=[^&]*&", "")
+    val noTrk2 = regexp_replace(noTrk1, "[?&](utm_[a-z]+|fbclid|gclid)=[^&]*$", "")
+    val noTrk = regexp_replace(noTrk2, "\\?&", "?")
+    // anchored to the authority — a literal ":80" inside the PATH is data
+    val noPort = regexp_replace(noTrk,
+      "^([a-z][a-z0-9+.-]*://[^/?#:]*):(80|443)([/?]|$)", "$1$3")
+    val noWww = regexp_replace(noPort, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
+    regexp_replace(noWww, "/$", "")
+  }
+
+  /** substring after a computed prefix (length-based — no regex escaping
+    * worries for arbitrary prefixes). */
+  private def expr_substrAfter(s: Column, prefix: Column): Column =
+    s.substr(length(prefix) + 1, length(s))
+
+  /**
    * N-gram repetition signals — the MassiveText/Gopher repetition filters
    * (Rae et al. 2021, appendix A1.1): documents whose n-grams repeat
    * heavily are boilerplate, spam, or template churn, and get dropped

@@ -49,6 +49,71 @@ object TrainingOps {
   }
 
   /**
+   * Deterministic global shuffle into fixed shards — the corpus-order
+   * randomization every training run needs before epoch 0 (documents
+   * arrive grouped by crawl/source/time; training on that order biases
+   * early steps). shard = hash(id) mod nShards, pos = rank of the hash
+   * order within the shard: a pseudo-random permutation that is fully
+   * reproducible across engines/runs/partitionings (portable affine hash,
+   * no RNG state). Output adds (shard, pos) to the input row.
+   *
+   * Scale shape: ONE exchange keyed on shard. The per-shard window is
+   * bounded BY CONSTRUCTION: nShards is chosen so one shard ≈ one output
+   * file (10^4-10^5 shards at 100 TB — the shard-writer contract), so the
+   * task that ranks a shard holds one file's worth of (hash, id) scalars,
+   * never the corpus. This is the one place a per-key window is the RIGHT
+   * tool (contrast DedupOps.keepFirstAndReassemble, where key cardinality
+   * is data-dependent and hot keys demand the map-side-combining plan).
+   */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0)
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", mix(col(idCol), 41))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
+
+  /**
+   * Temperature-flattened domain mixture (the GPT-3 / LLaMA / multilingual
+   *-sampling recipe, alpha ∈ [0,1]): sampling quota per domain ∝ n_d^alpha
+   * instead of n_d, so giant domains (CommonCrawl) stop drowning small
+   * high-quality ones (Wikipedia) while relative order is preserved.
+   * alpha=1 reproduces natural proportions, alpha=0 gives uniform quotas.
+   *
+   * quota_d = min(n_d, floor(targetTotal · w_d / Σw)) with INTEGER weights
+   * w_d = floor(sqrt(n_d)·1000) at the default alpha=0.5 — sqrt is
+   * IEEE-exactly-rounded and the sum is integer, so the quotas (and
+   * therefore the kept set) are bit-reproducible in any engine; arbitrary
+   * alpha uses pow(), whose last-ulp is library-dependent, so cross-engine
+   * oracles pin alpha=0.5. Keep decision: hash(id) mod n_d < quota_d —
+   * deterministic, approximately quota_d rows per domain (hash-uniform),
+   * ZERO extra corpus scan beyond the per-domain count.
+   *
+   * Scale shape: one map-side-combining count per domain (tiny result),
+   * quotas broadcast back, keep-filter runs in the scan stage. No
+   * driver-side collect — the Σw total joins in as a broadcast 1-row
+   * cross product.
+   */
+  def temperatureSample(df: DataFrame, idCol: String, domainCol: String,
+                        targetTotal: Long, alpha: Double = 0.5): DataFrame = {
+    require(targetTotal >= 0 && alpha >= 0.0 && alpha <= 1.0)
+    val counts = df.groupBy(col(domainCol).as("__dom")).agg(count(lit(1)).as("__n"))
+    val wExpr =
+      if (alpha == 0.5) floor(sqrt(col("__n").cast("double")) * 1000.0).cast("long")
+      else floor(pow(col("__n").cast("double"), lit(alpha)) * 1000.0).cast("long")
+    val weights = counts.withColumn("__w", wExpr)
+    val total = weights.agg(sum("__w").as("__tw"))
+    val quotas = weights.crossJoin(broadcast(total))
+      .withColumn("__quota", least(col("__n"),
+        floor(lit(targetTotal).cast("double") * col("__w") / col("__tw")).cast("long")))
+      .select(col("__dom"), col("__n"), col("__quota"))
+    df.join(broadcast(quotas), col(domainCol) === col("__dom"))
+      .filter(pmod(mix(col(idCol), 57), col("__n")) < col("__quota"))
+      .drop("__dom", "__n", "__quota")
+  }
+
+  /**
    * Corpus vocabulary statistics: the `topK` most frequent words with
    * document frequency — the standard pre-tokenizer corpus report. Shape:
    * explode → two-level aggregate (partial map-side combine per word) →

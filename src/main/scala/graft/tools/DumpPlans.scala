@@ -100,6 +100,16 @@ object DumpPlans {
           SimilarityOps.hierIvfProbe(idx, t("embeddings"), "vec_id", "embedding",
             k = 1, nProbeCoarse = 2, nProbeFine = 4)
         }),
+      ("C4 span dedup (skew-safe global first occurrence)",
+        "Chunking is ONE scan-side word_chunks kernel call (posexplode, no " +
+        "interpreted tokenization); the global first-occurrence decision is " +
+        "a groupBy(chunk) min(struct(id, idx)) — note the partial_min " +
+        "SortAggregate BEFORE the content-keyed exchange: a chunk repeated " +
+        "10^8 times collapses to one row per map task, where the old " +
+        "row_number window shipped every occurrence into a single sorted " +
+        "task. The CDC variant (cdc_chunks kernel) produces this same " +
+        "shape.",
+        DedupOps.spanDedup(t("documents"), "doc_id", "text", 8)),
       ("Test-set decontamination (eval n-gram overlap)",
         "Eval shingles BROADCAST (the small side by construction); corpus " +
         "shingles are computed scan-side and probe the broadcast in-stage — " +

@@ -111,6 +111,29 @@ class TextOpsSpec extends SparkSuite {
     assert(got(3) === ((0L, 0L)))
   }
 
+  test("canonicalizeUrl: scheme/host lowered, fragment/tracking/ports/www/trailing-slash stripped, lookalikes kept") {
+    val cases = Seq(
+      // the full mess, all steps at once
+      "HTTPS://WWW.Example.COM:443/Path/7?id=3&utm_source=feed&utm_campaign=X#Frag"
+        -> "https://example.com/Path/7?id=3",
+      // http default port + lone tracking param leaves a clean path
+      "http://Example.com:80/a/?utm_medium=email" -> "http://example.com/a",
+      // tracking param FIRST: separator cleanup must not leave "?&"
+      "https://h.io/p?utm_source=x&q=1&fbclid=abc" -> "https://h.io/p?q=1",
+      // lookalikes preserved: ":80" in the path, "myutm_x" param, non-default
+      // port, case-sensitive path, www not at host start
+      "https://h.io/ratio:80/x" -> "https://h.io/ratio:80/x",
+      "https://h.io/p?myutm_x=1" -> "https://h.io/p?myutm_x=1",
+      "https://h.io:8080/P" -> "https://h.io:8080/P",
+      "https://notwww.example.com/CaseSensitive" -> "https://notwww.example.com/CaseSensitive",
+      // no scheme: string passes through the host-lowering untouched
+      "just a string #frag" -> "just a string ")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalizeUrl(col("url")).as("c")).as[String].collect()
+    for (((in, want), actual) <- cases.zip(got))
+      assert(actual === want, s"canonicalizeUrl($in)")
+  }
+
   test("gopherRepetition: planted duplicate lines and repeated n-grams score exactly") {
     // lines: ["a b a b", "a b a b", "c"] — one duplicated 7-char line;
     // normalized words: a b a b a b a b c (17 chars incl. spaces)

@@ -30,6 +30,62 @@ class TrainingOpsSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("shuffleShards: deterministic permutation, dense per-shard positions, partition-invariant") {
+    val nShards = 4
+    val out = TrainingOps.shuffleShards(docs, "doc_id", nShards)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    // every row present exactly once, shards in range
+    assert(out.length === docs.count())
+    assert(out.forall { case (_, s, _) => s >= 0 && s < nShards })
+    // per-shard positions are a dense 0..k-1 ranking (a true permutation)
+    for ((_, rows) <- out.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+    // shards are roughly balanced (hash-uniform)
+    val sizes = out.groupBy(_._2).values.map(_.length)
+    assert(sizes.max < 2 * sizes.min + 8, s"shard skew: $sizes")
+    // deterministic and independent of input partitioning
+    val re = TrainingOps.shuffleShards(docs.repartition(7), "doc_id", nShards)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(re.toSeq === out.toSeq)
+    // NOT input order: the permutation must actually shuffle
+    val inOrder = out.sortBy(r => (r._2, r._3)).map(_._1).toSeq
+    assert(inOrder !== inOrder.sorted, "shard/pos order must not be doc_id order")
+  }
+
+  test("temperatureSample: sqrt-flattened quotas, deterministic, small domains over-represented") {
+    // 800 'big' rows vs 50 'small' rows; target 200 at alpha=0.5:
+    // w_big = floor(sqrt(800)*1000) = 28284, w_small = floor(sqrt(50)*1000) = 7071
+    // quota_big = floor(200*28284/35355) = 159, quota_small = floor(200*7071/35355) = 39
+    val df = ((0 until 800).map(i => (i.toLong, "big")) ++
+      (1000 until 1050).map(i => (i.toLong, "small"))).toDF("id", "dom")
+    val kept = TrainingOps.temperatureSample(df, "id", "dom", targetTotal = 200)
+      .select("id", "dom").as[(Long, String)].collect()
+    val keptBig = kept.count(_._2 == "big")
+    val keptSmall = kept.count(_._2 == "small")
+    // hash-threshold keep lands NEAR the quota (uniform hash), never over-
+    // represents natural proportions: small gets ~20% of the sample vs its
+    // 5.9% natural share
+    assert(math.abs(keptBig - 159) < 40, s"big kept $keptBig vs quota 159")
+    assert(math.abs(keptSmall - 39) < 15, s"small kept $keptSmall vs quota 39")
+    assert(keptSmall.toDouble / (keptBig + keptSmall) > 0.12)
+    // deterministic
+    val again = TrainingOps.temperatureSample(df, "id", "dom", targetTotal = 200)
+      .select("id", "dom").as[(Long, String)].collect()
+    assert(again.sortBy(_._1).toSeq === kept.sortBy(_._1).toSeq)
+    // alpha=1 reproduces (approximately) natural proportions
+    val nat = TrainingOps.temperatureSample(df, "id", "dom", 200, alpha = 1.0)
+      .select("dom").as[String].collect()
+    assert(nat.count(_ == "small").toDouble / nat.length < 0.12,
+      "alpha=1 must not flatten the mixture")
+    // quota never exceeds the domain size: a tiny domain is kept whole
+    val tiny = ((0 until 1000).map(i => (i.toLong, "big")) ++
+      Seq((5000L, "one"))).toDF("id", "dom")
+    val keptTiny = TrainingOps.temperatureSample(tiny, "id", "dom", 5000)
+    assert(keptTiny.filter(col("dom") === "one").count() <= 1)
+  }
+
   test("decontaminate: planted eval overlap is flagged with exact distinct-ngram counts") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),   // contains eval bigrams
