@@ -31,7 +31,38 @@ object PerfLab {
     case "ngramab" => ngramAb()
     case "cond"    => cond()
     case "sinkab"  => sinkAb()
+    case "dictab"  => dictAb()
     case other     => sys.error(s"unknown mode $other")
+  }
+
+  /** A/B parquet dictionary encoding on the full pipeline. The record
+    * sinks write HIGH-CARDINALITY string columns (per-row JSON bodies,
+    * token-array JSON): dictionary building on near-unique values is pure
+    * overhead — the page dictionary fills, falls back to plain, and the
+    * build work is discarded. Same interleaved-rounds protocol as sinkab. */
+  private def dictAb(): Unit = {
+    val variants = Seq(
+      "dict_on" -> Seq("spark.hadoop.parquet.enable.dictionary" -> "true"),
+      "dict_off" -> Seq("spark.hadoop.parquet.enable.dictionary" -> "false"))
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (round <- 1 to 3; (name, confs) <- variants) {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      val b = GraftSession.builder("local[32]", 32, s"dictab-$name")
+      confs.foreach { case (k, v) => b.config(k, v) }
+      val spark = b.getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      graft.util.Scratch.withTempDir("perfab_warm") { w =>
+        Pipeline.run(spark, DataGen.sequences(spark, 10000L, 8), w) // warm
+      }
+      val t = graft.util.Scratch.withTempDir("perfab") { out =>
+        time(Pipeline.run(spark, DataGen.sequences(spark, 1000000L, 64), out))
+      }
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      println(f"ROUND $round $name%-10s $t%6.2f best=${best(name)}%6.2f")
+      spark.stop()
+    }
+    best.foreach { case (n, t) => println(f"DICTAB $n%-10s $t%6.2f s") }
   }
 
   /** A/B the sink-write I/O knobs on the full pipeline: output committer
