@@ -111,6 +111,25 @@ object Bench {
     queries("ann_lsh_top1") = time2 {
       SimilarityOps.lshTopK(t("embeddings"), "vec_id", "embedding", 1, lshBits, 8).count()
     }
+    // PQ: train+encode once (the persisted-codes-table contract), then the
+    // ADC-shortlist + exact-re-rank probe — corpus scans touch 8 B codes,
+    // raw vectors are fetched per shortlist candidate only
+    locally {
+      var pqCb: SimilarityOps.PqCodebook = null
+      var pqCodes: org.apache.spark.sql.DataFrame = null
+      queries("ann_pq_encode") = time {
+        pqCb = SimilarityOps.pqTrainCodebook(t("embeddings"), "vec_id", "embedding",
+          m = 8, ksub = 64, iters = 2)
+        pqCodes = SimilarityOps.pqEncode(t("embeddings"), "vec_id", "embedding", pqCb)
+          .persist()
+        pqCodes.count()
+      }
+      queries("ann_pq_rerank_top1") = time2 {
+        SimilarityOps.pqRerankTopK(pqCodes, t("embeddings"), t("embeddings"),
+          "vec_id", "embedding", pqCb, k = 1, shortlist = 20).count()
+      }
+      pqCodes.unpersist()
+    }
     // IVF build and probe timed SEPARATELY: a real inverted-file index is
     // built once and amortized over every query batch — folding k-means
     // training into each probe (the old ann_ivf_top1) mismeasures both.

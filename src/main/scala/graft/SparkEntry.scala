@@ -349,6 +349,21 @@ object SparkEntry {
           Map("en" -> 500, "de" -> 250, "zh" -> 100), defaultPerMille = 1000)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    "q_pq_codes" -> ((s, d) => {
+      // product-quantization codes with the PORTABLE iters=0 codebook
+      // (hash-sampled vectors, float-exact — no averaging), so the DuckDB
+      // oracle reproduces the argmin L2 codes bit-for-bit; Lloyd-refined
+      // codebooks are covered by SimilarityOpsSpec recall floors instead
+      val emb = t(s, d, "embeddings")
+      val cb = SimilarityOps.pqTrainCodebook(emb, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 0)
+      val codes = SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb)
+      codes.select(col("id").as("vec_id") +:
+        (0 until 8).map(sub =>
+          element_at(col("codes"), sub + 1).cast("int").as(s"c$sub")): _*)
+        .orderBy("vec_id")
+    }),
+
     "q_shuffle_shards" -> ((s, d) =>
       // deterministic global shuffle: hash-shard + in-shard rank, the
       // pre-training corpus randomization (reproducible, no RNG state)
@@ -1043,6 +1058,33 @@ object SparkEntry {
            CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'zh' THEN 100
                      ELSE 1000 END
          ORDER BY doc_id""",
+    "q_pq_codes" ->
+      """WITH ranked AS (SELECT vec_id, embedding,
+           row_number() OVER (ORDER BY
+             ((vec_id % 1000000007) * 654435882 + 1014434796) % 1000000007, vec_id) - 1 AS cid
+         FROM embeddings),
+         init AS (SELECT cid, embedding AS cv FROM ranked WHERE cid < 16),
+         pairs AS (SELECT e.vec_id, i.cid, g.s,
+           list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+             d -> (CAST(e.embedding[CAST(g.s * 8 + d AS INT)] AS DOUBLE)
+                   - CAST(i.cv[CAST(g.s * 8 + d AS INT)] AS DOUBLE))
+                * (CAST(e.embedding[CAST(g.s * 8 + d AS INT)] AS DOUBLE)
+                   - CAST(i.cv[CAST(g.s * 8 + d AS INT)] AS DOUBLE)))),
+             (acc, x) -> acc + x) AS dist
+         FROM embeddings e, init i, range(0, 8) g(s)),
+         best AS (SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+         FROM pairs)
+         SELECT vec_id,
+           CAST(max(CASE WHEN s = 0 THEN cid END) AS INT) AS c0,
+           CAST(max(CASE WHEN s = 1 THEN cid END) AS INT) AS c1,
+           CAST(max(CASE WHEN s = 2 THEN cid END) AS INT) AS c2,
+           CAST(max(CASE WHEN s = 3 THEN cid END) AS INT) AS c3,
+           CAST(max(CASE WHEN s = 4 THEN cid END) AS INT) AS c4,
+           CAST(max(CASE WHEN s = 5 THEN cid END) AS INT) AS c5,
+           CAST(max(CASE WHEN s = 6 THEN cid END) AS INT) AS c6,
+           CAST(max(CASE WHEN s = 7 THEN cid END) AS INT) AS c7
+         FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""",
     "q_shuffle_shards" ->
       """WITH h AS (SELECT doc_id,
            ((doc_id % 1000000007) * 654435830 + 1014228902) % 1000000007 AS hh

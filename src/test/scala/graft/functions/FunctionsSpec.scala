@@ -98,6 +98,56 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("pq_encode / pq_lut / pq_adc ≡ join+window reference formulations") {
+    import org.apache.spark.sql.expressions.Window
+    val m = 4; val dsub = 16; val ksub = 8 // dim 64, tiny codebook
+    // codebook = subvectors of the first ksub embeddings (float-exact)
+    val cents = emb.orderBy("vec_id").limit(ksub).select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    val flat = new Array[Float](m * ksub * dsub)
+    for (c <- 0 until ksub; s <- 0 until m; d <- 0 until dsub)
+      flat(((s * ksub) + c) * dsub + d) = cents(c)(s * dsub + d)
+    val kernelCodes = emb.select(col("vec_id"),
+      pq_encode(col("embedding"), flat, m, ksub, dsub).as("codes"))
+    // reference: explode (vec, sub) × centroids, fold the squared diff in
+    // dim order (zip_with + ordered aggregate = the kernel's loop), rank
+    val centRows = (for (s <- 0 until m; c <- 0 until ksub) yield
+      (s, c, (0 until dsub).map(d => flat(((s * ksub) + c) * dsub + d)))).toDF("s", "c", "cv")
+    val subvecs = emb.select(col("vec_id"), explode(
+        array((0 until m).map(s => struct(lit(s).as("s"),
+          slice(col("embedding"), s * dsub + 1, dsub).as("sv"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
+    val dists = subvecs.join(centRows, Seq("s"))
+      .withColumn("dist", aggregate(
+        zip_with(col("sv"), col("cv"),
+          (a, b) => (a.cast("double") - b.cast("double")) *
+                    (a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy("vec_id", "s").orderBy(col("dist"), col("c"))
+    val refCodes = dists.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("c")))),
+        x => x.getField("c")).as("codes"))
+    assert(kernelCodes.join(refCodes, Seq("vec_id"))
+      .filter(kernelCodes("codes") =!= refCodes("codes")).count() === 0)
+    // pq_lut entries ≡ the same fold, every (s, c)
+    val kernelLut = emb.select(col("vec_id"),
+      pq_lut(col("embedding"), flat, m, ksub, dsub).as("lut"))
+    val lutDiff = dists.join(kernelLut, Seq("vec_id"))
+      .filter(element_at(col("lut"), col("s") * ksub + col("c") + 1) =!= col("dist"))
+      .count()
+    assert(lutDiff === 0, "pq_lut diverges from the reference fold")
+    // pq_adc ≡ Σ element_at(lut, s·ksub + code + 1)
+    val adc = kernelCodes.join(kernelLut, Seq("vec_id"))
+      .withColumn("a", pq_adc(col("codes"), col("lut"), ksub))
+      .withColumn("b", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (code, s) => element_at(col("lut"), s * ksub + code + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    assert(adc.filter(col("a") =!= col("b")).count() === 0)
+  }
+
   test("audit kernels ≡ the Column-arithmetic reference formulations") {
     import graft.pipeline.{Parse, Schemas}
     val ids = graft.pipeline.DataGen.sequences(spark, 5000L, 4).select("doc_id")

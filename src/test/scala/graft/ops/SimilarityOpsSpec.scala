@@ -208,6 +208,68 @@ class SimilarityOpsSpec extends SparkSuite {
       tables = 2).count() > 0)
   }
 
+  test("PQ: codes are self-exact for sampled centroids, recall floor vs exact L2, poison dims") {
+    val cb = SimilarityOps.pqTrainCodebook(emb, "vec_id", "embedding",
+      m = 8, ksub = 32, iters = 1)
+    assert(cb.dim === 64 && cb.dsub === 8)
+    val codes = SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb)
+    // every vector encodes (no nulls), codes in range
+    assert(codes.filter(col("codes").isNull).count() === 0)
+    assert(codes.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= cb.ksub).count() === 0)
+    // ADC top-1 recall vs EXACT L2 top-1 (PQ quantizes L2, so the ground
+    // truth is L2 — bruteForceTopK ranks by cosine, a different metric)
+    val src = emb.select(col("vec_id"), col("embedding"))
+    val exact = src.crossJoin(src.select(col("vec_id").as("nid"), col("embedding").as("nv")))
+      .filter(col("vec_id") =!= col("nid"))
+      .withColumn("d2", aggregate(
+        zip_with(col("embedding"), col("nv"),
+          (a, b) => (a.cast("double") - b.cast("double")) *
+                    (a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, x) => acc + x))
+    val wEx = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d2"), col("nid"))
+    val exactTop = exact.withColumn("rn", row_number().over(wEx))
+      .filter(col("rn") === 1).select(col("vec_id"), col("nid"))
+      .as[(Long, Long)].collect().toMap
+    val pqTop = SimilarityOps.pqAdcTopK(codes, emb, "vec_id", "embedding", cb, 1)
+      .filter(col("rank") === 1).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    val recall = exactTop.count { case (q, n) => pqTop.get(q).contains(n) }.toDouble /
+      exactTop.size
+    info(f"raw ADC top-1 recall vs exact L2: $recall%.3f (m=8, ksub=32, 1 round)")
+    assert(recall >= 0.1, f"raw ADC recall $recall%.3f below floor")
+    // the DEPLOYED contract: ADC shortlist + exact re-rank. Probe sweep:
+    // m=8/ksub=64/2 rounds/shortlist 20 → 0.826 measured; floor 0.7
+    val cb2 = SimilarityOps.pqTrainCodebook(emb, "vec_id", "embedding",
+      m = 8, ksub = 64, iters = 2)
+    val codes2 = SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb2)
+    val reranked = SimilarityOps.pqRerankTopK(codes2, emb, emb,
+        "vec_id", "embedding", cb2, k = 1, shortlist = 20)
+      .filter(col("rank") === 1).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    val recallRr = exactTop.count { case (q, n) => reranked.get(q).contains(n) }.toDouble /
+      exactTop.size
+    info(f"re-ranked top-1 recall: $recallRr%.3f (m=8, ksub=64, 2 rounds, shortlist 20)")
+    assert(recallRr >= 0.7, f"re-ranked recall $recallRr%.3f below floor")
+    // sampled-init centroids (iters=0) self-encode at ADC distance 0
+    val cb0 = SimilarityOps.pqTrainCodebook(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 0)
+    val codes0 = SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb0)
+    val self = codes0.withColumnRenamed("id", "vec_id")
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .withColumn("lut", graft.functions.GraftFunctions.pq_lut(
+        col("embedding"), cb0.flat, cb0.m, cb0.ksub, cb0.dsub))
+      .withColumn("d", graft.functions.GraftFunctions.pq_adc(
+        col("codes"), col("lut"), cb0.ksub))
+      .filter(col("d") === 0.0).count()
+    assert(self >= 16, s"the 16 sampled vectors must ADC-self-score 0 (got $self)")
+    // dimension mismatch poisons (null codes), never crashes
+    val bad = Seq((1L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    assert(SimilarityOps.pqEncode(bad, "vec_id", "embedding", cb)
+      .filter(col("codes").isNull).count() === 1)
+  }
+
   test("knownCorpusSize hint: auto-bits plan construction runs ZERO jobs, results unchanged") {
     // VERDICT r4 #5: the autoscale's src.count() is one full corpus-lineage
     // scan PER CALL — a probe service calling lshTopK per query batch
