@@ -349,6 +349,28 @@ object SparkEntry {
           Map("en" -> 500, "de" -> 250, "zh" -> 100), defaultPerMille = 1000)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    "q_sessionize" -> ((s, d) =>
+      // gap sessionization over the event stream: 30-min inactivity opens
+      // a new session; microsecond-exact, deterministic tie-break
+      EventOps.sessionize(t(s, d, "events"), "user_id", "ts",
+          gapSeconds = 1800, tieCol = "event_id")
+        .select("event_id", "user_id", "session_seq", "session_pos")
+        .orderBy("event_id")),
+
+    "q_join_asof" -> ((s, d) => {
+      // backward as-of join: each event picks the rate in effect at its
+      // timestamp (rates = a deterministic snapshot subset of the stream)
+      val ev = t(s, d, "events")
+      val rates = ev.filter(pmod(col("event_id"), lit(20)) === 0)
+        .groupBy("event_type", "ts").agg(max("value").as("rate"))
+        .withColumnRenamed("ts", "rts")
+      EventOps.asofJoinBackward(
+          ev.select("event_id", "event_type", "ts"), rates,
+          "event_type", "ts", "rts", "rate")
+        .select(col("event_id"), col("event_type"), col("asof_value").as("rate"))
+        .orderBy("event_id")
+    }),
+
     "q_pq_codes" -> ((s, d) => {
       // product-quantization codes with the PORTABLE iters=0 codebook
       // (hash-sampled vectors, float-exact — no averaging), so the DuckDB
@@ -1058,6 +1080,26 @@ object SparkEntry {
            CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'zh' THEN 100
                      ELSE 1000 END
          ORDER BY doc_id""",
+    "q_sessionize" ->
+      """WITH o AS (SELECT event_id, user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         FROM events),
+         b AS (SELECT event_id, user_id, ts,
+           CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS br
+         FROM o),
+         s AS (SELECT event_id, user_id, ts,
+           sum(br) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS session_seq
+         FROM b)
+         SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(row_number() OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) - 1 AS BIGINT) AS session_pos
+         FROM s ORDER BY event_id""",
+    "q_join_asof" ->
+      """WITH rates AS (SELECT event_type, ts AS rts, max(value) AS rate
+           FROM events WHERE event_id % 20 = 0 GROUP BY event_type, ts)
+         SELECT e.event_id, e.event_type, r.rate
+         FROM events e ASOF JOIN rates r
+           ON e.event_type = r.event_type AND e.ts >= r.rts
+         ORDER BY e.event_id""",
     "q_pq_codes" ->
       """WITH ranked AS (SELECT vec_id, embedding,
            row_number() OVER (ORDER BY

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-sequence operators over timestamped entity streams (the `events`
+ * table shape: entity key + event time + payload): gap sessionization and
+ * as-of (most-recent-value) joins — the two primitives every behavioral /
+ * telemetry pipeline runs between ingestion and feature extraction.
+ *
+ * Scale shape, both operators: ONE exchange keyed on the entity column,
+ * then per-entity window work bounded by that entity's OWN event count —
+ * the inherently-sequential unit of both computations. A single entity
+ * with 10^9 events would need upstream splitting (sessionize: pre-split on
+ * coarse time buckets, re-merge boundary sessions); entity-count skew
+ * (many small entities) is handled by AQE partition coalescing as usual.
+ */
+object EventOps {
+
+  /**
+   * Gap-based sessionization: a new session opens at an entity's first
+   * event and whenever the gap since the previous event exceeds
+   * `gapSeconds`. Adds:
+   *
+   *   session_seq  0-based session ordinal within the entity
+   *   session_pos  0-based event ordinal within the session
+   *
+   * Deterministic: events order by (ts, tie-break column) so equal
+   * timestamps never reshuffle sessions between runs/engines (the DuckDB
+   * oracle reproduces the same lag + running-sum formulation).
+   */
+  def sessionize(df: DataFrame, entityCol: String, tsCol: String,
+                 gapSeconds: Long, tieCol: String): DataFrame = {
+    require(gapSeconds > 0)
+    val wOrd = Window.partitionBy(entityCol).orderBy(col(tsCol), col(tieCol))
+    val prev = lag(col(tsCol), 1).over(wOrd)
+    // microsecond-exact gap compare (unix_timestamp truncates to seconds,
+    // which would merge sessions whose gap straddles a second boundary;
+    // the oracle uses DuckDB's epoch_us — identical arithmetic)
+    // cast("timestamp"): parquet NTZ timestamps reach unix_micros as LTZ
+    // (identity under the engine's pinned UTC session timezone)
+    val boundary = when(prev.isNull ||
+      unix_micros(col(tsCol).cast("timestamp")) -
+        unix_micros(prev.cast("timestamp")) > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    val wRun = Window.partitionBy(entityCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSeq = df.withColumn("__b", boundary)
+      .withColumn("session_seq", sum(col("__b")).over(wRun) - 1)
+    val wSess = Window.partitionBy(col(entityCol), col("session_seq"))
+      .orderBy(col(tsCol), col(tieCol))
+    withSeq
+      .withColumn("session_pos", row_number().over(wSess) - lit(1).cast("long"))
+      .drop("__b")
+  }
+
+  /**
+   * Per-session aggregate via Spark's native `session_window` — identical
+   * gap-merge semantics to [[sessionize]], and the SAME expression works
+   * under Structured Streaming (watermark + session_window is the
+   * streaming-native sessionization; StreamingPipelineSpec runs it with
+   * late data). Returns (entity, session_start, session_end, n_events).
+   */
+  def sessionWindowCounts(df: DataFrame, entityCol: String, tsCol: String,
+                          gapSeconds: Long): DataFrame =
+    df.groupBy(col(entityCol), session_window(col(tsCol), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(entityCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /**
+   * Backward as-of join (SURVEY §2.3 J6 made first-class): each left row
+   * picks the LATEST right row with `right.ts <= left.ts` for its key —
+   * "the exchange rate / config / model version in effect at event time".
+   *
+   * Spark-first plan: no per-row range probe and no cross product — the
+   * two sides UNION (right rows tagged 0, left 1), one exchange on the
+   * key, and a per-key ordered window carries the most recent right
+   * payload forward (`last(ignoreNulls)` over rows-between). Right rows
+   * sort BEFORE left rows at equal timestamps, so the join is inclusive
+   * (ties take the same-instant right row — DuckDB ASOF JOIN semantics,
+   * which the oracle uses verbatim). Inner semantics: left rows before
+   * any right row are dropped; pass `keepUnmatched = true` for the
+   * left-join variant (null payload).
+   *
+   * Right sides are typically small dimension histories — but this plan
+   * never assumes so: both sides shuffle once on the key, and a 10^10-row
+   * right side costs the same exchange it would in any join.
+   */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keyCol: String,
+                       leftTsCol: String, rightTsCol: String,
+                       valueCol: String, outCol: String = "asof_value",
+                       keepUnmatched: Boolean = false): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__ts", col(leftTsCol))
+      .withColumn("__tag", lit(1))
+      .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select(
+      col(keyCol),
+      col(rightTsCol).as("__ts"),
+      lit(0).as("__tag"),
+      col(valueCol).as("__v"))
+    val rPadded = leftCols.filterNot(c => c == keyCol)
+      .foldLeft(r)((acc, c) => acc.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select(l.columns.map(col): _*)
+    val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = l.unionByName(rPadded)
+      .withColumn(outCol, last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .drop("__ts", "__tag", "__v")
+    if (keepUnmatched) joined else joined.filter(col(outCol).isNotNull)
+  }
+}

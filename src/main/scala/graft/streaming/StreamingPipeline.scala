@@ -161,6 +161,38 @@ object StreamingPipeline {
   }
 
   /**
+   * Streaming sessionization: the SAME `session_window` gap-merge
+   * semantics as `EventOps.sessionWindowCounts` (EventOpsSpec pins the
+   * batch expression ≡ the lag/cumsum formulation), run under a watermark
+   * — sessions close and emit once the watermark passes their end + gap,
+   * late events inside the watermark still merge/extend their session.
+   * Append mode: only closed sessions reach the sink (exactly-once with
+   * the parquet sink's commit log).
+   */
+  def sessionCounts(spark: SparkSession, inputDir: String, outDir: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    entityCol: String, tsCol: String, gapSeconds: Long,
+                    watermark: String = "1 hour"): Unit = {
+    val agg = spark.readStream.schema(schema).parquet(inputDir)
+      .withColumn("__ts", col(tsCol).cast("timestamp"))
+      .withWatermark("__ts", watermark)
+      .groupBy(col(entityCol), session_window(col("__ts"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(entityCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$outDir/_checkpoint_sess")
+      .format("parquet")
+      .option("path", s"$outDir/sessions")
+      .start()
+    q.awaitTermination()
+  }
+
+  /**
    * Custom stateful dedup with TTL via flatMapGroupsWithState — the exact
    * `known_blobs` semantics (id → expiration; expired ids re-admitted,
    * src/config.rs:92-106) expressed in Spark's keyed state API. Each key

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class EventOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").cache()
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("sessionize: planted gaps open sessions exactly; dense per-session positions") {
+    val df = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 10:10:00")),  // 600s gap, same session
+      (3L, 10L, ts("2024-01-01 11:00:01")),  // 3001s > 1800 → new session
+      (4L, 10L, ts("2024-01-01 11:30:01")),  // exactly 1800s → SAME session
+      (5L, 20L, ts("2024-01-01 10:00:00")))  // other user
+      .toDF("event_id", "user_id", "ts")
+    val got = EventOps.sessionize(df, "user_id", "ts", 1800, "event_id")
+      .select("event_id", "session_seq", "session_pos")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 0L, 0L), (2L, 0L, 1L), (3L, 1L, 0L), (4L, 1L, 1L), (5L, 0L, 0L)))
+    // partition invariance
+    val re = EventOps.sessionize(df.repartition(5), "user_id", "ts", 1800, "event_id")
+      .select("event_id", "session_seq", "session_pos")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(re === got)
+  }
+
+  test("sessionWindowCounts ≡ sessionize's session set (native session_window agg)") {
+    val counts = EventOps.sessionWindowCounts(events, "user_id", "ts", 1800)
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val labeled = EventOps.sessionize(events, "user_id", "ts", 1800, "event_id")
+      .groupBy("user_id", "session_seq").agg(count(lit(1)).as("n"))
+      .select("user_id", "n").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(counts === labeled,
+      "session_window must merge exactly like the lag/cumsum formulation")
+  }
+
+  test("asofJoinBackward ≡ brute-force latest-at-or-before; unmatched drop vs keep") {
+    val left = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, "a", ts("2024-01-01 11:00:00")),
+      (3L, "a", ts("2024-01-01 09:00:00")),  // before any rate → unmatched
+      (4L, "b", ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "event_type", "ts")
+    val rates = Seq(
+      ("a", ts("2024-01-01 09:30:00"), 1.0),
+      ("a", ts("2024-01-01 10:00:00"), 2.0),  // same-instant tie → taken at 10:00
+      ("a", ts("2024-01-01 10:30:00"), 3.0),
+      ("b", ts("2024-01-01 00:00:00"), 9.0))
+      .toDF("event_type", "rts", "rate")
+    val inner = EventOps.asofJoinBackward(left, rates, "event_type", "ts", "rts", "rate")
+      .select("event_id", "asof_value").as[(Long, Double)].collect().sortBy(_._1)
+    assert(inner === Array((1L, 2.0), (2L, 3.0), (4L, 9.0)))
+    val kept = EventOps.asofJoinBackward(left, rates, "event_type", "ts", "rts", "rate",
+        keepUnmatched = true)
+      .select("event_id", "asof_value").as[(Long, Option[Double])].collect().sortBy(_._1)
+    assert(kept.length === 4 && kept(2) === ((3L, None)))
+    // brute-force cross check on the real events table
+    val ev = events.select("event_id", "event_type", "ts")
+    val rt = events.filter(pmod(col("event_id"), lit(20)) === 0)
+      .groupBy("event_type", "ts").agg(max("value").as("rate"))
+      .withColumnRenamed("ts", "rts")
+    val fast = EventOps.asofJoinBackward(ev, rt, "event_type", "ts", "rts", "rate")
+      .select("event_id", "asof_value").as[(Long, Double)].collect().toMap
+    val brute = ev.join(rt, Seq("event_type"))
+      .filter(col("rts") <= col("ts"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("event_id").orderBy(col("rts").desc)))
+      .filter(col("rn") === 1)
+      .select("event_id", "rate").as[(Long, Double)].collect().toMap
+    assert(fast === brute)
+  }
+
+  test("asofJoinBackward plan: one union-window pass, no range cross join") {
+    val ev = events.select("event_id", "event_type", "ts")
+    val rt = events.limit(50).select(col("event_type"), col("ts").as("rts"),
+      col("value").as("rate"))
+    val plan = EventOps.asofJoinBackward(ev, rt, "event_type", "ts", "rts", "rate")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"as-of must not fall back to a range cross join:\n$plan")
+  }
+}

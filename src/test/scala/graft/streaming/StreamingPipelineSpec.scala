@@ -163,6 +163,27 @@ class StreamingPipelineSpec extends SparkSuite {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("streaming session_window matches batch sessionization on closed sessions") {
+    val in = tmpDir("stream_sess_in"); val out = tmpDir("stream_sess_out")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("append").parquet(in)
+    StreamingPipeline.sessionCounts(spark, in, out, events.schema,
+      "user_id", "ts", gapSeconds = 1800, watermark = "1 hour")
+    val got = spark.read.parquet(s"$out/sessions")
+      .select("user_id", "session_start", "n_events")
+    // batch ground truth, restricted to sessions CLOSED at the final
+    // watermark (append mode emits nothing later)
+    val batch = graft.ops.EventOps.sessionWindowCounts(
+      events.withColumn("ts", col("ts").cast("timestamp")), "user_id", "ts", 1800)
+    val maxEvent = events.agg(max(col("ts").cast("timestamp").cast("long"))).as[Long].head()
+    val expected = batch
+      .filter(col("session_end").cast("long") <= maxEvent - 3600)
+      .select("user_id", "session_start", "n_events")
+    assert(expected.count() > 0, "fixture must close some sessions under the watermark")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "closed streaming sessions must equal the batch session set")
+  }
+
   test("flatMapGroupsWithState dedup: duplicates within and across batches collapse") {
     val in = tmpDir("stream_in5"); val out = tmpDir("stream_out5")
     writeBatch(in, 0, 600)
