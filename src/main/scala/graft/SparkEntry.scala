@@ -263,6 +263,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_text_quality_gopher" -> ((s, d) => {
+      // Gopher A1.1 quality signals + the combined keep flag, over text
+      // synthesized with bullets / conditional ellipses / '#' runs so every
+      // signal is live (same construction oracle-side)
+      val ml = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          col("text"),
+          concat(lit("- bullet item "), pmod(col("doc_id"), lit(5)).cast("string")),
+          concat(lit("to be continued"),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit("...")).otherwise(lit(""))),
+          lit("# 42 ###")).as("text"))
+      TextOps.gopherKeep(ml, minWords = 5)
+        .select(col("doc_id"), col("symbol_word_ratio_x1000"),
+          col("bullet_line_frac_x1000"), col("ellipsis_line_frac_x1000"),
+          col("alpha_word_frac_x1000"), col("gopher_keep").cast("long").as("gopher_keep"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_langid" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("lang_pred"))
@@ -1017,6 +1035,38 @@ object SparkEntry {
          FROM l JOIN lstat USING (doc_id) JOIN g2 USING (doc_id)
                 JOIN g3 USING (doc_id) JOIN g4 USING (doc_id)
          ORDER BY doc_id""",
+    "q_text_quality_gopher" ->
+      """WITH p AS (SELECT doc_id,
+           text || chr(10) || '- bullet item ' || CAST(doc_id % 5 AS VARCHAR)
+                || chr(10) || 'to be continued' || CASE WHEN doc_id % 3 = 0 THEN '...' ELSE '' END
+                || chr(10) || '# 42 ###' AS text FROM documents),
+         w AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS ws,
+                string_split(text, chr(10)) AS ls FROM p),
+         sig AS (SELECT doc_id, ws, ls,
+           greatest(len(ws), 1) AS nw, greatest(len(ls), 1) AS nl,
+           length(text) - length(replace(text, '#', '')) AS hashes,
+           len(regexp_extract_all(text, '(\.\.\.|…)')) AS ell,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(floor(length(array_to_string(ws, '')) * 1000.0 / greatest(len(ws), 1)) AS BIGINT) AS mwl,
+           len(list_intersect(list_distinct(ws),
+             ['the','a','of','and','to','in','is','it','that','for'])) AS sw
+         FROM w),
+         m AS (SELECT doc_id, n_words, mwl, sw,
+           CAST(floor((hashes + ell) * 1000.0 / nw) AS BIGINT) AS symbol_word_ratio_x1000,
+           CAST(floor(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) * 1000.0 / nl) AS BIGINT) AS bullet_line_frac_x1000,
+           CAST(floor(len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) * 1000.0 / nl) AS BIGINT) AS ellipsis_line_frac_x1000,
+           CAST(floor(len(list_filter(ws, x -> regexp_matches(x, '\p{L}'))) * 1000.0 / nw) AS BIGINT) AS alpha_word_frac_x1000
+         FROM sig)
+         SELECT doc_id, symbol_word_ratio_x1000, bullet_line_frac_x1000,
+           ellipsis_line_frac_x1000, alpha_word_frac_x1000,
+           CAST(n_words >= 5 AND n_words <= 100000
+             AND mwl >= 3000 AND mwl <= 10000
+             AND symbol_word_ratio_x1000 <= 100
+             AND bullet_line_frac_x1000 <= 900
+             AND ellipsis_line_frac_x1000 <= 300
+             AND alpha_word_frac_x1000 >= 800
+             AND sw >= 2 AS BIGINT) AS gopher_keep
+         FROM m ORDER BY doc_id""",
     "q_text_langid" ->
       """WITH w AS (SELECT doc_id, lang,
              list_distinct(string_split_regex(trim(text), '\s+')) AS dw FROM documents)

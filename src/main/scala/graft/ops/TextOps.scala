@@ -252,6 +252,59 @@ object TextOps {
   }
 
   /**
+   * The Gopher QUALITY filter signals (Rae et al. 2021 A1.1 — the
+   * non-repetition half; [[gopherRepetition]] has the repetition half,
+   * [[qualityScore]] the length/stopword basics). All ×1000
+   * integer-exact, scan-speed, regex in the Java/RE2-common subset:
+   *
+   *  - `symbol_word_ratio_x1000` — ('#' + ellipsis occurrences) / words
+   *    (Gopher drops > 0.1);
+   *  - `bullet_line_frac_x1000`  — lines starting with a bullet
+   *    (drops > 0.9);
+   *  - `ellipsis_line_frac_x1000` — lines ending in an ellipsis
+   *    (drops > 0.3);
+   *  - `alpha_word_frac_x1000`   — words containing ≥ 1 letter (`\p{L}`,
+   *    so non-Latin corpora count; drops < 0.8).
+   */
+  def gopherQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val lines = split(t, "\n")
+    val nw = greatest(size(ws), lit(1))
+    val nl = greatest(size(lines), lit(1))
+    val hashCount = length(t) - length(translate(t, "#", ""))
+    val ellipsisCount = regexp_count(t, lit("(\\.\\.\\.|…)"))
+    df.withColumn("symbol_word_ratio_x1000",
+        floor((hashCount + ellipsisCount) * lit(1000L) / nw).cast("long"))
+      .withColumn("bullet_line_frac_x1000",
+        floor(size(filter(lines, l => l.rlike("^[-*•]"))) * lit(1000L) / nl).cast("long"))
+      .withColumn("ellipsis_line_frac_x1000",
+        floor(size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))) * lit(1000L) / nl).cast("long"))
+      .withColumn("alpha_word_frac_x1000",
+        floor(size(filter(ws, w => w.rlike("\\p{L}"))) * lit(1000L) / nw).cast("long"))
+  }
+
+  /**
+   * The combined Gopher keep decision over [[qualityScore]] +
+   * [[gopherQuality]] signals (A1.1 thresholds; word-count band scaled
+   * to this corpus' short synthetic docs is the caller's choice —
+   * defaults are the paper's): one boolean a 100 TB pre-filter can push
+   * into the scan.
+   */
+  def gopherKeep(df: DataFrame, textCol: String = "text",
+                 minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val scored = gopherQuality(qualityScore(df, textCol), textCol)
+    scored.withColumn("gopher_keep",
+      col("n_words") >= minWords && col("n_words") <= maxWords &&
+      col("mean_word_len_x1000") >= 3000L && col("mean_word_len_x1000") <= 10000L &&
+      col("symbol_word_ratio_x1000") <= 100L &&
+      col("bullet_line_frac_x1000") <= 900L &&
+      col("ellipsis_line_frac_x1000") <= 300L &&
+      col("alpha_word_frac_x1000") >= 800L &&
+      col("stopword_hits") >= 2L)
+  }
+
+  /**
    * Language ID by stopword voting: distinct-word overlap with each
    * language's stopword list; argmax with deterministic tie-break on the
    * fixed language order (en, de, fr, es, zh). `greatest`-free formulation:

@@ -155,6 +155,28 @@ class TextOpsSpec extends SparkSuite {
     assert(got(2) === ((3L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("gopherQuality + gopherKeep: planted bullets/ellipses/symbols score exactly") {
+    // 4 lines: 1 bullet start, 1 ellipsis end; words: 10 total, "###" has
+    // no letter; symbols: 3 '#' + 2 ellipses ("..." and "…")
+    // 11 words, mean word length ~4.7 (inside [3,10]), 2 stopwords → keeps
+    val textOk = "the quick brown foxes of spain jumped over their sleeping dogs"
+    val textBad = "- one two\nthree four...\nfive …\n###"
+    val got = TextOps.gopherQuality(Seq((1L, textBad), (2L, textOk)).toDF("doc_id", "text"))
+      .select("doc_id", "symbol_word_ratio_x1000", "bullet_line_frac_x1000",
+        "ellipsis_line_frac_x1000", "alpha_word_frac_x1000")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // textBad: words = [-,one,two,three,four...,five,…,###] → 8 words;
+    // symbols = 3 hashes + 2 ellipses = 5 → 625; lines 4, bullet 1 → 250,
+    // ellipsis-ending 2 ("four..." line and "five …" line) → 500;
+    // words with a letter: one,two,three,four...,five → 5 of 8 → 625
+    assert(got(0) === ((1L, 625L, 250L, 500L, 625L)))
+    assert(got(1) === ((2L, 0L, 0L, 0L, 1000L)))
+    val keep = TextOps.gopherKeep(Seq((1L, textBad), (2L, textOk)).toDF("doc_id", "text"),
+        minWords = 5)
+      .select("doc_id", "gopher_keep").as[(Long, Boolean)].collect().sortBy(_._1)
+    assert(keep === Array((1L, false), (2L, true)))
+  }
+
   test("qualityScore emits exact integer signals") {
     val row = TextOps.qualityScore(Seq("the the cat sat!").toDF("text"))
       .select("n_chars2", "n_words", "distinct_ratio_x1000", "n_punct", "stopword_hits")
