@@ -189,6 +189,11 @@ object Bench {
       DedupOps.spanDedup(t("documents"), "doc_id", "text", 8,
         fingerprintSpans = true).count()
     }
+    queries("bpe_train_encode") = time {
+      val merges = graft.ops.BpeOps.bpeTrain(t("documents"), "text", nMerges = 200)
+      graft.ops.BpeOps.tokenize(t("documents"), "text", merges)
+        .agg(sum("n_bpe_tokens")).collect()
+    }
     queries("text_analysis") = time2 {
       TextOps.qualityScore(t("documents"))
         .select(col("doc_id"), TextOps.langId(col("text")),

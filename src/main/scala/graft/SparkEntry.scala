@@ -367,6 +367,17 @@ object SparkEntry {
           Map("en" -> 500, "de" -> 250, "zh" -> 100), defaultPerMille = 1000)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    "q_bpe_tokenize" -> ((s, d) => {
+      // real BPE: merges learned from the corpus word-frequency table,
+      // encode scan-side. No oracle — the iterative merge training is not
+      // SQL-expressible; BpeOpsSpec pins the classic merge example, the
+      // kernel ≡ reference equality, and lossless round-trip instead.
+      val docs = t(s, d, "documents")
+      val merges = BpeOps.bpeTrain(docs, "text", nMerges = 60)
+      BpeOps.tokenize(docs, "text", merges)
+        .select("doc_id", "n_bpe_tokens").orderBy("doc_id")
+    }),
+
     "q_sessionize" -> ((s, d) =>
       // gap sessionization over the event stream: 30-min inactivity opens
       // a new session; microsecond-exact, deterministic tie-break

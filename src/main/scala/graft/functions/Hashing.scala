@@ -179,6 +179,68 @@ object Hashing {
     best
   }
 
+  // --- BPE encode (BpeOps) ------------------------------------------------
+
+  // rank table memoized per merge-table STRING (newline-joined "a b"
+  // pairs): the parse runs once per distinct table per executor, not per
+  // row — addReferenceObj hands every row of a task the same instance
+  private val bpeTables =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashMap[String, Integer]]()
+
+  private def bpeRank(mergesSpec: String): java.util.HashMap[String, Integer] =
+    bpeTables.computeIfAbsent(mergesSpec, spec => {
+      val m = new java.util.HashMap[String, Integer]()
+      if (spec.nonEmpty) {
+        val arr = spec.split("\n", -1)
+        var i = 0
+        while (i < arr.length) { m.put(arr(i), i); i += 1 }
+      }
+      m
+    })
+
+  /** Greedy ranked BPE encode of a text's words (merges as "a b" strings
+    * in rank order): at each step the lowest-rank applicable pair merges,
+    * leftmost first on rank ties — ≡ BpeOps.encodeWordRef, pinned in
+    * FunctionsSpec. Symbols never contain whitespace (words come from the
+    * \s+ split), so the space-joined pair key is unambiguous. */
+  def bpeEncode(s: UTF8String, mergesSpec: String): ArrayData = {
+    val rank = bpeRank(mergesSpec)
+    val ws = wordsOf(s)
+    val out = new java.util.ArrayList[AnyRef]()
+    var wi = 0
+    while (wi < ws.length) {
+      val word = ws(wi)
+      var syms = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        syms += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      var continue = syms.length > 1
+      while (continue) {
+        var bestRank = Int.MaxValue
+        var bestAt = -1
+        var j = 0
+        while (j < syms.length - 1) {
+          val r = rank.get(syms(j) + " " + syms(j + 1))
+          if (r != null && r < bestRank) { bestRank = r; bestAt = j }
+          j += 1
+        }
+        if (bestAt < 0) continue = false
+        else {
+          syms(bestAt) = syms(bestAt) + syms(bestAt + 1)
+          syms.remove(bestAt + 1)
+          continue = syms.length > 1
+        }
+      }
+      var k = 0
+      while (k < syms.length) { out.add(UTF8String.fromString(syms(k))); k += 1 }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   // --- product quantization (SimilarityOps.pq*) ---------------------------
   // Codebook layout: flat(((s * ksub) + c) * dsub + d) = dim d of centroid
   // c in subspace s. All distance arithmetic is double-accumulated in dim

@@ -293,6 +293,28 @@ case class NearestCentroidsExpr(child: Expression, centsFlat: Array[Float],
     copy(child = c)
 }
 
+/** Greedy ranked BPE encode (array<string> subword tokens), codegen'd —
+  * merge table embedded like the IVF centroid matrix; pinned ≡
+  * BpeOps.encodeWordRef in FunctionsSpec.
+  *
+  * The table rides as ONE newline-joined String ("a b\nc d\n...") — pair
+  * symbols never contain whitespace (they come from the \s+ word split),
+  * so the encoding is unambiguous; the kernel memoizes the parse per
+  * table, so it costs once per executor, not per row. */
+case class BpeEncodeExpr(child: Expression, mergesSpec: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Hashing.bpeEncode(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      mergesSpec)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", mergesSpec, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.bpeEncode($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeEncodeExpr =
+    copy(child = c)
+}
+
 /** Shared float/double array-input type check for the PQ expressions. */
 trait VectorInputCheck { self: Expression =>
   protected def vectorChild: Expression
@@ -571,6 +593,8 @@ object GraftFunctions {
     c(NearestCentroidsExpr(ColumnGlue.expression(v), flat, dim,
       cents.map(_._1).toArray, n))
   }
+  def bpe_encode(s: Column, merges: Array[String]): Column =
+    c(BpeEncodeExpr(ColumnGlue.expression(s), merges.mkString("\n")))
   def pq_encode(v: Column, flat: Array[Float], m: Int, ksub: Int, dsub: Int): Column =
     c(PqEncodeExpr(ColumnGlue.expression(v), flat, m, ksub, dsub))
   def pq_lut(v: Column, flat: Array[Float], m: Int, ksub: Int, dsub: Int): Column =
