@@ -386,6 +386,15 @@ object SparkEntry {
         .select("event_id", "user_id", "session_seq", "session_pos")
         .orderBy("event_id")),
 
+    "q_funnel" -> ((s, d) =>
+      // ordered conversion funnel view → click → purchase: earliest
+      // strictly-increasing chain per user, partial prefixes kept
+      EventOps.funnel(t(s, d, "events"), "user_id", "ts",
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"))
+        .select("user_id", "t_1", "t_2", "t_3", "steps_completed")
+        .orderBy("user_id")),
+
     "q_join_asof" -> ((s, d) => {
       // backward as-of join: each event picks the rate in effect at its
       // timestamp (rates = a deterministic snapshot subset of the stream)
@@ -1154,6 +1163,21 @@ object SparkEntry {
          SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq,
            CAST(row_number() OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) - 1 AS BIGINT) AS session_pos
          FROM s ORDER BY event_id""",
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t_1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t_2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t_1 GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t_3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t_2 GROUP BY e.user_id)
+         SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3,
+           CAST(1 + (CASE WHEN s2.t_2 IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN s3.t_3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS steps_completed
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         ORDER BY user_id""",
     "q_join_asof" ->
       """WITH rates AS (SELECT event_type, ts AS rts, max(value) AS rate
            FROM events WHERE event_id % 20 = 0 GROUP BY event_type, ts)

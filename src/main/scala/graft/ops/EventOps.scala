@@ -73,6 +73,37 @@ object EventOps {
         col("n_events"))
 
   /**
+   * Ordered funnel analysis: for each entity, the earliest strictly-
+   * increasing timestamp chain through `steps` (step k counts only AFTER
+   * step k-1's earliest qualifying time — the standard conversion-funnel
+   * semantics). Output: (entity, t_1..t_k nullable, steps_completed).
+   *
+   * Plan shape: one map-side-combining `min` aggregation per step over
+   * the PRE-FILTERED step events (each a pushable predicate), chained by
+   * equi-joins on the entity — k tiny aggregates, no per-entity event
+   * window, no collect_list of event history. Entities that never reach
+   * step 1 are absent (they completed 0 steps); later steps left-join so
+   * partial funnels keep their prefix times.
+   */
+  def funnel(df: DataFrame, entityCol: String, tsCol: String,
+             steps: Seq[Column]): DataFrame = {
+    require(steps.nonEmpty)
+    val s1 = df.filter(steps.head)
+      .groupBy(col(entityCol)).agg(min(col(tsCol)).as("t_1"))
+    val full = steps.zipWithIndex.drop(1).foldLeft(s1) { case (acc, (pred, i)) =>
+      val k = i + 1
+      val next = df.filter(pred)
+        .join(acc.select(col(entityCol), col(s"t_$i").as("__prev")), entityCol)
+        .filter(col(tsCol) > col("__prev"))
+        .groupBy(col(entityCol)).agg(min(col(tsCol)).as(s"t_$k"))
+      acc.join(next, Seq(entityCol), "left")
+    }
+    val completed = steps.indices.map(i => when(col(s"t_${i + 1}").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    full.withColumn("steps_completed", completed)
+  }
+
+  /**
    * Backward as-of join (SURVEY §2.3 J6 made first-class): each left row
    * picks the LATEST right row with `right.ts <= left.ts` for its key —
    * "the exchange rate / config / model version in effect at event time".

@@ -42,6 +42,37 @@ class EventOpsSpec extends SparkSuite {
       "session_window must merge exactly like the lag/cumsum formulation")
   }
 
+  test("funnel: strictly-ordered chains, partial prefixes, out-of-order events don't count") {
+    val df = Seq(
+      // user 1: full funnel in order
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      // user 2: click BEFORE view → only step 1 counts
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      // user 3: view + click, no purchase → 2 steps; uses the EARLIEST
+      // view (10:00), so the 10:30 click qualifies
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "view", ts("2024-01-01 11:00:00")),
+      (3L, "click", ts("2024-01-01 10:30:00")),
+      // user 4: never views → absent from the funnel
+      (4L, "purchase", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventOps.funnel(df, "user_id", "ts",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"))
+      .select("user_id", "steps_completed").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got === Array((1L, 3L), (2L, 1L), (3L, 2L)))
+    // same-instant events do NOT chain (strict >)
+    val tie = Seq((9L, "view", ts("2024-01-01 10:00:00")),
+      (9L, "click", ts("2024-01-01 10:00:00"))).toDF("user_id", "event_type", "ts")
+    val tied = EventOps.funnel(tie, "user_id", "ts",
+        Seq(col("event_type") === "view", col("event_type") === "click"))
+      .select("steps_completed").as[Long].head()
+    assert(tied === 1L)
+  }
+
   test("asofJoinBackward ≡ brute-force latest-at-or-before; unmatched drop vs keep") {
     val left = Seq(
       (1L, "a", ts("2024-01-01 10:00:00")),
