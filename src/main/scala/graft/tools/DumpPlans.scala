@@ -117,6 +117,33 @@ object DumpPlans {
         "partial aggregates reach the final exchange.",
         TrainingOps.decontaminate(t("documents"), "doc_id", "text",
           t("documents").limit(50), "text", 2)),
+      ("PQ ADC probe (codes-only corpus scan, LUT once per query, re-rank fetch)",
+        "The corpus side streams 8-16 B code rows (never raw vectors); " +
+        "each query's distance LUT is ONE scan-side pq_lut kernel call, " +
+        "broadcast with the query; scoring is m array lookups per pair " +
+        "(pq_adc); only shortlist survivors hash-join their raw vectors " +
+        "back for the exact re-rank.",
+        {
+          val emb = t("embeddings")
+          val cb = SimilarityOps.pqTrainCodebook(emb, "vec_id", "embedding",
+            m = 8, ksub = 16, iters = 0)
+          val codes = SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb)
+          SimilarityOps.pqRerankTopK(codes, emb, emb.limit(8), "vec_id",
+            "embedding", cb, k = 1, shortlist = 8)
+        }),
+      ("Backward as-of join (union + per-key ordered window, no range cross join)",
+        "Both sides union after tagging, ONE exchange on the key, and " +
+        "last(ignoreNulls) over the per-key (ts, tag) order carries the " +
+        "latest right payload to each left row — the range predicate " +
+        "never becomes a nested-loop join.",
+        {
+          val ev = t("events")
+          val rates = ev.limit(100).select(col("event_type"),
+            col("ts").as("rts"), col("value").as("rate"))
+          graft.ops.EventOps.asofJoinBackward(
+            ev.select("event_id", "event_type", "ts"), rates,
+            "event_type", "ts", "rts", "rate")
+        }),
       ("Pushdown + pruning (filter and projection reach the parquet scan)",
         "PushedFilters and a pruned ReadSchema on the FileScan node.",
         t("lineitem").filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")))
