@@ -189,6 +189,20 @@ object Bench {
       DedupOps.spanDedup(t("documents"), "doc_id", "text", 8,
         fingerprintSpans = true).count()
     }
+    // event-sequence ops over the events table: sessionize + as-of + funnel
+    queries("events_ops") = time2 {
+      val ev = t("events")
+      graft.ops.EventOps.sessionize(ev, "user_id", "ts", 1800, "event_id").count()
+      val rates = ev.filter(pmod(col("event_id"), lit(20)) === 0)
+        .groupBy("event_type", "ts").agg(max("value").as("rate"))
+        .withColumnRenamed("ts", "rts")
+      graft.ops.EventOps.asofJoinBackward(
+        ev.select("event_id", "event_type", "ts"), rates,
+        "event_type", "ts", "rts", "rate").count()
+      graft.ops.EventOps.funnel(ev, "user_id", "ts",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase")).count()
+    }
     queries("bpe_train_encode") = time {
       val merges = graft.ops.BpeOps.bpeTrain(t("documents"), "text", nMerges = 200)
       graft.ops.BpeOps.tokenize(t("documents"), "text", merges)

@@ -54,6 +54,15 @@ object DedupOps {
     val payload = df.columns.filterNot(keyCols.contains)
     require(payload.contains(orderCol),
       s"orderCol=$orderCol must be a non-key column of ${df.columns.mkString(",")}")
+    // fail with a usable message instead of Min's analysis error: the
+    // struct-min plan needs every payload column ORDERABLE (maps are not)
+    payload.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt),
+        s"exactDedup payload column '$c' has unorderable type ${dt.simpleString}: " +
+        "project it away (or to an orderable encoding) before deduping — the " +
+        "skew-safe min(struct) plan compares whole payload rows")
+    }
     val ordered = struct((orderCol +: payload.filterNot(_ == orderCol)).map(col): _*)
     df.groupBy(keyCols.map(col): _*)
       .agg(min(ordered).as("__first"))

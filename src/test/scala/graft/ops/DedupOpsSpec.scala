@@ -30,6 +30,14 @@ class DedupOpsSpec extends SparkSuite {
     assert(got7 === got)
   }
 
+  test("exactDedup rejects unorderable payload types with a usable message") {
+    val df = Seq((1L, "x", Map("a" -> 1))).toDF("id", "k", "m")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.exactDedup(df, Seq("k"), "id")
+    }
+    assert(e.getMessage.contains("unorderable") && e.getMessage.contains("'m'"))
+  }
+
   test("first-occurrence dedups are map-side combinable: partial_min, no content-key window sort") {
     // VERDICT r4 #1: a row_number() window over the content key ships
     // EVERY occurrence of a hot key (boilerplate chunk, viral duplicate)
