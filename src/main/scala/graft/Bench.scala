@@ -128,6 +128,16 @@ object Bench {
         SimilarityOps.pqRerankTopK(pqCodes, t("embeddings"), t("embeddings"),
           "vec_id", "embedding", pqCb, k = 1, shortlist = 20).count()
       }
+      // IVF-PQ: posting lists prune the ADC cross join to probed cells
+      locally {
+        val ivf = SimilarityOps.buildIvfIndex(t("embeddings"), "vec_id",
+          "embedding", nCentroids = ivfCentroids, persist = true).materialize()
+        queries("ann_ivfpq_probe") = time2 {
+          SimilarityOps.pqIvfProbe(ivf, pqCodes, t("embeddings"), t("embeddings"),
+            "vec_id", "embedding", pqCb, k = 1, nProbe = 4, shortlist = 20).count()
+        }
+        ivf.unpersist()
+      }
       pqCodes.unpersist()
     }
     // IVF build and probe timed SEPARATELY: a real inverted-file index is

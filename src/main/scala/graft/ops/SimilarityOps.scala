@@ -611,6 +611,59 @@ object SimilarityOps {
     require(shortlist >= k)
     val cand = pqAdcTopK(encoded, queries, idCol, vecCol, cb, shortlist)
       .select(col("query_id"), col("neighbor_id"))
+    exactRerank(cand, corpusVecs, queries, idCol, vecCol, k)
+  }
+
+  /**
+   * IVF-PQ probe — the composition deployed at 10^9+ vectors (FAISS's
+   * IVFADC): the IVF coarse quantizer prunes candidates to the probed
+   * posting lists (sub-linear candidate generation — kills the ADC
+   * cross join), PQ ADC scores those candidates from 8-16 B codes, and
+   * only shortlist survivors fetch raw vectors for the exact re-rank.
+   *
+   * Exchange audit: probes ship (cid, query_id) scalars to the posting
+   * lists; the candidate pair set is (query_id, neighbor_id) scalars;
+   * codes join in at 8-16 B/row; per-query LUTs (m·ksub doubles) ride a
+   * BROADCAST keyed on query_id, never the candidate exchange; raw
+   * vectors appear only for queries × shortlist rows. Recall compounds
+   * the IVF list hit rate with the PQ shortlist hit rate — spec-pinned.
+   */
+  def pqIvfProbe(index: IvfIndex, codes: DataFrame, corpusVecs: DataFrame,
+                 queries: DataFrame, idCol: String, vecCol: String,
+                 cb: PqCodebook, k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k)
+    if (index.centroids.isEmpty)
+      return queries.filter(lit(false)).select(col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"), lit(1).as("rank"))
+    val pairs = queries.select(
+        explode(graft.functions.GraftFunctions.nearest_centroids(
+          col(vecCol), index.centroids.toSeq, nProbe)).as("cid"),
+        col(idCol).as("query_id"))
+      .join(index.homed.select(col("cid"), col("neighbor_id")), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // multi-assignment surfaces a pair once per shared list
+      .dropDuplicates("query_id", "neighbor_id")
+      .select("query_id", "neighbor_id")
+    val luts = queries.select(col(idCol).as("query_id"),
+      graft.functions.GraftFunctions.pq_lut(
+        col(vecCol), cb.flat, cb.m, cb.ksub, cb.dsub).as("lut"))
+    val scored = pairs
+      .join(codes.select(col("id").as("neighbor_id"), col("codes")), Seq("neighbor_id"))
+      .join(broadcast(luts), Seq("query_id"))
+      .withColumn("dist",
+        graft.functions.GraftFunctions.pq_adc(col("codes"), col("lut"), cb.ksub))
+    val wSl = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+    val cand = scored.withColumn("__sl", row_number().over(wSl))
+      .filter(col("__sl") <= shortlist)
+      .select("query_id", "neighbor_id")
+    exactRerank(cand, corpusVecs, queries, idCol, vecCol, k)
+  }
+
+  /** Shared exact-L2 re-rank tail: fetch raw vectors per surviving
+    * candidate (broadcast query side, hash join on neighbor id), rank. */
+  private def exactRerank(cand: DataFrame, corpusVecs: DataFrame,
+                          queries: DataFrame, idCol: String, vecCol: String,
+                          k: Int): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val nv = corpusVecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
     val scored = cand

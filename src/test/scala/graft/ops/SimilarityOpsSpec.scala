@@ -252,6 +252,18 @@ class SimilarityOpsSpec extends SparkSuite {
       exactTop.size
     info(f"re-ranked top-1 recall: $recallRr%.3f (m=8, ksub=64, 2 rounds, shortlist 20)")
     assert(recallRr >= 0.7, f"re-ranked recall $recallRr%.3f below floor")
+    // IVF-PQ: posting-list candidate pruning + ADC + re-rank. Recall
+    // compounds list hit rate with shortlist hit rate — floor 0.55
+    val ivf = SimilarityOps.buildIvfIndex(emb, "vec_id", "embedding",
+      nCentroids = 16, persist = false)
+    val ivfpq = SimilarityOps.pqIvfProbe(ivf, codes2, emb, emb,
+        "vec_id", "embedding", cb2, k = 1, nProbe = 4, shortlist = 20)
+      .filter(col("rank") === 1).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    val recallIvfPq = exactTop.count { case (q, n) => ivfpq.get(q).contains(n) }.toDouble /
+      exactTop.size
+    info(f"IVF-PQ top-1 recall: $recallIvfPq%.3f (16 cells, probe 4, shortlist 20)")
+    assert(recallIvfPq >= 0.55, f"IVF-PQ recall $recallIvfPq%.3f below floor")
     // sampled-init centroids (iters=0) self-encode at ADC distance 0
     val cb0 = SimilarityOps.pqTrainCodebook(emb, "vec_id", "embedding",
       m = 8, ksub = 16, iters = 0)
