@@ -1155,7 +1155,7 @@ object SparkEntry {
            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
          FROM events),
          b AS (SELECT event_id, user_id, ts,
-           CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS br
+           CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) >= 1800000000 THEN 1 ELSE 0 END AS br
          FROM o),
          s AS (SELECT event_id, user_id, ts,
            sum(br) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS session_seq
@@ -1236,10 +1236,15 @@ object SparkEntry {
            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) ||
            substr(url, length(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1) AS c FROM u),
          s2 AS (SELECT doc_id, url, regexp_replace(c, '#.*$', '', 'g') AS c FROM s1),
-         s3 AS (SELECT doc_id, url, regexp_replace(c, '(utm_[a-z]+|fbclid|gclid)=[^&]*&', '', 'g') AS c FROM s2),
-         s4 AS (SELECT doc_id, url, regexp_replace(c, '[?&](utm_[a-z]+|fbclid|gclid)=[^&]*$', '') AS c FROM s3),
-         s5 AS (SELECT doc_id, url, regexp_replace(c, '\?&', '?', 'g') AS c FROM s4),
-         s6 AS (SELECT doc_id, url, regexp_replace(c, '^([a-z][a-z0-9+.-]*://[^/?#:]*):(80|443)([/?]|$)', '\1\3') AS c FROM s5),
+         s3 AS (SELECT doc_id, url,
+           CASE WHEN regexp_matches(c, '[?&](utm_[a-z]+|fbclid|gclid)=')
+             THEN regexp_replace(regexp_replace(c, '[?&](utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+                    '^([^?]*)&', '\1?')
+             ELSE c END AS c FROM s2),
+         s5 AS (SELECT doc_id, url,
+           regexp_replace(c, '^(http://[^/?#:]*):80([/?]|$)', '\1\2') AS c FROM s3),
+         s6 AS (SELECT doc_id, url,
+           regexp_replace(c, '^(https://[^/?#:]*):443([/?]|$)', '\1\2') AS c FROM s5),
          s7 AS (SELECT doc_id, url, regexp_replace(c, '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS c FROM s6)
          SELECT doc_id, url, regexp_replace(c, '/$', '') AS url_canonical
          FROM s7 ORDER BY doc_id""",

@@ -187,7 +187,10 @@ object Hashing {
   private val bpeTables =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.HashMap[String, Integer]]()
 
-  private def bpeRank(mergesSpec: String): java.util.HashMap[String, Integer] =
+  private def bpeRank(mergesSpec: String): java.util.HashMap[String, Integer] = {
+    // bounded: a long-lived executor cycling through many merge tables
+    // (per-slice retraining) must not accumulate them forever
+    if (bpeTables.size > 64) bpeTables.clear()
     bpeTables.computeIfAbsent(mergesSpec, spec => {
       val m = new java.util.HashMap[String, Integer]()
       if (spec.nonEmpty) {
@@ -197,6 +200,7 @@ object Hashing {
       }
       m
     })
+  }
 
   /** Greedy ranked BPE encode of a text's words (merges as "a b" strings
     * in rank order): at each step the lowest-rank applicable pair merges,

@@ -21,8 +21,11 @@ object EventOps {
 
   /**
    * Gap-based sessionization: a new session opens at an entity's first
-   * event and whenever the gap since the previous event exceeds
-   * `gapSeconds`. Adds:
+   * event and whenever the gap since the previous event reaches
+   * `gapSeconds` (inclusive — an event exactly gapSeconds after the
+   * previous one starts a NEW session, matching Spark's end-exclusive
+   * `session_window` range [start, last + gap), so [[sessionWindowCounts]]
+   * and the streaming path merge identically). Adds:
    *
    *   session_seq  0-based session ordinal within the entity
    *   session_pos  0-based event ordinal within the session
@@ -43,7 +46,7 @@ object EventOps {
     // (identity under the engine's pinned UTC session timezone)
     val boundary = when(prev.isNull ||
       unix_micros(col(tsCol).cast("timestamp")) -
-        unix_micros(prev.cast("timestamp")) > gapSeconds * 1000000L, 1L)
+        unix_micros(prev.cast("timestamp")) >= gapSeconds * 1000000L, 1L)
       .otherwise(0L)
     val wRun = Window.partitionBy(entityCol).orderBy(col(tsCol), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -127,24 +130,35 @@ object EventOps {
                        valueCol: String, outCol: String = "asof_value",
                        keepUnmatched: Boolean = false): DataFrame = {
     val leftCols = left.columns
+    val vType = right.schema(valueCol).dataType
+    // the carried payload is a STRUCT (marker, value): ignoreNulls must
+    // skip only LEFT rows' placeholder, never a right row whose value is
+    // genuinely NULL — a null rate at t5 supersedes the t1 rate (DuckDB
+    // ASOF returns the null), and match/no-match is decided by the
+    // struct's presence, not the value's nullness
     val l = left
       .withColumn("__ts", col(leftTsCol))
       .withColumn("__tag", lit(1))
-      .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("__v",
+        lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v", vType)))))
     val r = right.select(
       col(keyCol),
       col(rightTsCol).as("__ts"),
       lit(0).as("__tag"),
-      col(valueCol).as("__v"))
+      struct(col(valueCol).as("v")).as("__v"))
     val rPadded = leftCols.filterNot(c => c == keyCol)
       .foldLeft(r)((acc, c) => acc.withColumn(c, lit(null).cast(left.schema(c).dataType)))
       .select(l.columns.map(col): _*)
     val w = Window.partitionBy(keyCol).orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = l.unionByName(rPadded)
-      .withColumn(outCol, last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("__last", last(col("__v"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .drop("__ts", "__tag", "__v")
-    if (keepUnmatched) joined else joined.filter(col(outCol).isNotNull)
+      .withColumn(outCol, col("__last.v"))
+      .withColumn("__matched", col("__last").isNotNull)
+      .drop("__ts", "__tag", "__v", "__last")
+    val out = if (keepUnmatched) joined else joined.filter(col("__matched"))
+    out.drop("__matched")
   }
 }

@@ -587,6 +587,10 @@ object SimilarityOps {
       .filter(col("query_id") =!= col("id"))
       .withColumn("dist",
         graft.functions.GraftFunctions.pq_adc(col("codes"), col("lut"), cb.ksub))
+      // poison rows (dimension-mismatched vectors → null codes/LUT → null
+      // dist) must DROP here: ascending order is NULLS FIRST, so an
+      // unfiltered null-dist row would outrank every real neighbor
+      .filter(col("dist").isNotNull)
     val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -652,6 +656,7 @@ object SimilarityOps {
       .join(broadcast(luts), Seq("query_id"))
       .withColumn("dist",
         graft.functions.GraftFunctions.pq_adc(col("codes"), col("lut"), cb.ksub))
+      .filter(col("dist").isNotNull) // poison rows: see pqAdcTopK
     val wSl = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
     val cand = scored.withColumn("__sl", row_number().over(wSl))
       .filter(col("__sl") <= shortlist)
@@ -674,6 +679,7 @@ object SimilarityOps {
           (a, b) => (a.cast("double") - b.cast("double")) *
                     (a.cast("double") - b.cast("double"))),
         lit(0.0), (acc, x) => acc + x))
+      .filter(col("d2").isNotNull) // length-mismatched zip_with → null
     val w = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -160,12 +160,24 @@ object TextOps {
     val schemeHost = regexp_extract(url, schemeHostRe, 0)
     val lowered = concat(lower(schemeHost), expr_substrAfter(url, schemeHost))
     val noFrag = regexp_replace(lowered, "#.*$", "")
-    val noTrk1 = regexp_replace(noFrag, "(utm_[a-z]+|fbclid|gclid)=[^&]*&", "")
-    val noTrk2 = regexp_replace(noTrk1, "[?&](utm_[a-z]+|fbclid|gclid)=[^&]*$", "")
-    val noTrk = regexp_replace(noTrk2, "\\?&", "?")
-    // anchored to the authority — a literal ":80" inside the PATH is data
-    val noPort = regexp_replace(noTrk,
-      "^([a-z][a-z0-9+.-]*://[^/?#:]*):(80|443)([/?]|$)", "$1$3")
+    // tracking strip, LEFT-ANCHORED to its ?/& separator (a param whose
+    // name merely CONTAINS a tracking name — "myutm_x" — is data): every
+    // tracking param is removed together with its own separator, then a
+    // surviving first param that lost its '?' gets it back (the ^[^?]*&
+    // pattern can only match once — ^ never re-anchors — so Spark's
+    // always-global replace behaves as replace-first in both engines)
+    val noTrk1 = regexp_replace(noFrag, "[?&](utm_[a-z]+|fbclid|gclid)=[^&]*", "")
+    // the '?' restore runs ONLY on URLs that actually lost a tracking
+    // param (an unencoded '&' in the PATH of an untouched URL stays data;
+    // for stripped URLs a path-& remains the one documented ambiguity)
+    val hadTrk = noFrag.rlike("[?&](utm_[a-z]+|fbclid|gclid)=")
+    val noTrk = when(hadTrk, regexp_replace(noTrk1, "^([^?]*)&", "$1?"))
+      .otherwise(noTrk1)
+    // default ports are stripped only when paired with THEIR scheme —
+    // http://h:443 is a distinct origin and must survive; anchored to the
+    // authority, so a literal ":80" inside the PATH is data
+    val noP80 = regexp_replace(noTrk, "^(http://[^/?#:]*):80([/?]|$)", "$1$2")
+    val noPort = regexp_replace(noP80, "^(https://[^/?#:]*):443([/?]|$)", "$1$2")
     val noWww = regexp_replace(noPort, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
     regexp_replace(noWww, "/$", "")
   }
@@ -225,8 +237,12 @@ object TextOps {
     val lines = split(t, "\n")
     val total = greatest(size(lines), lit(1))
     val lineChars = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
-    val dupChars = aggregate(array_distinct(lines), lit(0L),
-      (acc, l) => acc + (size(filter(lines, x => x === l)) - 1).cast("long") * length(l))
+    // chars in repeat occurrences = total line chars − one occurrence of
+    // each distinct line: LINEAR, vs the O(distinct·total) nested
+    // filter-count formulation (each line with count c contributes
+    // (c−1)·len either way)
+    val dupChars = lineChars -
+      aggregate(array_distinct(lines), lit(0L), (acc, l) => acc + length(l))
     val base = df
       .withColumn("dup_line_frac_x1000",
         (lit(1000L) - floor(size(array_distinct(lines)) * lit(1000L) / total)).cast("long"))

@@ -108,7 +108,10 @@ object TrainingOps {
       .withColumn("__quota", least(col("__n"),
         floor(lit(targetTotal).cast("double") * col("__w") / col("__tw")).cast("long")))
       .select(col("__dom"), col("__n"), col("__quota"))
-    df.join(broadcast(quotas), col(domainCol) === col("__dom"))
+    // null-safe join: a NULL domain is a real group (its count weighted
+    // into Σw like any other) — a plain === would silently drop every
+    // null-domain row while still deflating all other quotas
+    df.join(broadcast(quotas), col(domainCol) <=> col("__dom"))
       .filter(pmod(mix(col(idCol), 57), col("__n")) < col("__quota"))
       .drop("__dom", "__n", "__quota")
   }

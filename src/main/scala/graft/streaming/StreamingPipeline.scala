@@ -173,15 +173,13 @@ object StreamingPipeline {
                     schema: org.apache.spark.sql.types.StructType,
                     entityCol: String, tsCol: String, gapSeconds: Long,
                     watermark: String = "1 hour"): Unit = {
-    val agg = spark.readStream.schema(schema).parquet(inputDir)
-      .withColumn("__ts", col(tsCol).cast("timestamp"))
-      .withWatermark("__ts", watermark)
-      .groupBy(col(entityCol), session_window(col("__ts"), s"$gapSeconds seconds"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col(entityCol),
-        col("session_window.start").as("session_start"),
-        col("session_window.end").as("session_end"),
-        col("n_events"))
+    // delegate to the ONE session_window expression (EventOps) so batch,
+    // native and streaming sessionization cannot drift apart
+    val agg = graft.ops.EventOps.sessionWindowCounts(
+      spark.readStream.schema(schema).parquet(inputDir)
+        .withColumn("__ts", col(tsCol).cast("timestamp"))
+        .withWatermark("__ts", watermark),
+      entityCol, "__ts", gapSeconds)
     val q = agg.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())

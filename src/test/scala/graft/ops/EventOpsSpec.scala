@@ -14,15 +14,17 @@ class EventOpsSpec extends SparkSuite {
     val df = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00")),
       (2L, 10L, ts("2024-01-01 10:10:00")),  // 600s gap, same session
-      (3L, 10L, ts("2024-01-01 11:00:01")),  // 3001s > 1800 → new session
-      (4L, 10L, ts("2024-01-01 11:30:01")),  // exactly 1800s → SAME session
+      (3L, 10L, ts("2024-01-01 11:00:01")),  // 3001s >= 1800 → new session
+      (4L, 10L, ts("2024-01-01 11:30:01")),  // exactly 1800s → NEW session
+      // (inclusive boundary = session_window's end-exclusive range, so the
+      // native/streaming variants merge identically)
       (5L, 20L, ts("2024-01-01 10:00:00")))  // other user
       .toDF("event_id", "user_id", "ts")
     val got = EventOps.sessionize(df, "user_id", "ts", 1800, "event_id")
       .select("event_id", "session_seq", "session_pos")
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(got === Array(
-      (1L, 0L, 0L), (2L, 0L, 1L), (3L, 1L, 0L), (4L, 1L, 1L), (5L, 0L, 0L)))
+      (1L, 0L, 0L), (2L, 0L, 1L), (3L, 1L, 0L), (4L, 2L, 0L), (5L, 0L, 0L)))
     // partition invariance
     val re = EventOps.sessionize(df.repartition(5), "user_id", "ts", 1800, "event_id")
       .select("event_id", "session_seq", "session_pos")
@@ -93,6 +95,17 @@ class EventOpsSpec extends SparkSuite {
         keepUnmatched = true)
       .select("event_id", "asof_value").as[(Long, Option[Double])].collect().sortBy(_._1)
     assert(kept.length === 4 && kept(2) === ((3L, None)))
+    // a right row whose VALUE is null still supersedes older rows (DuckDB
+    // ASOF returns the null) — it is a MATCH carrying null, never skipped
+    val nullRates = Seq(("a", ts("2024-01-01 09:00:00"), Some(1.0)),
+      ("a", ts("2024-01-01 10:30:00"), None: Option[Double]))
+      .toDF("event_type", "rts", "rate")
+    val gotNull = EventOps.asofJoinBackward(
+        Seq((7L, "a", ts("2024-01-01 11:00:00"))).toDF("event_id", "event_type", "ts"),
+        nullRates, "event_type", "ts", "rts", "rate")
+      .select("event_id", "asof_value").as[(Long, Option[Double])].collect()
+    assert(gotNull === Array((7L, None)),
+      "the newest (null-valued) rate must win and the row must stay matched")
     // brute-force cross check on the real events table
     val ev = events.select("event_id", "event_type", "ts")
     val rt = events.filter(pmod(col("event_id"), lit(20)) === 0)

@@ -280,6 +280,17 @@ class SimilarityOpsSpec extends SparkSuite {
     val bad = Seq((1L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
     assert(SimilarityOps.pqEncode(bad, "vec_id", "embedding", cb)
       .filter(col("codes").isNull).count() === 1)
+    // and a poison row in the CORPUS must never surface as a neighbor —
+    // null ADC distances would sort NULLS FIRST into rank 1 if unfiltered
+    val poisoned = codes0.unionByName(
+      SimilarityOps.pqEncode(
+        Seq((999999L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cb0))
+    val topWithPoison = SimilarityOps.pqAdcTopK(poisoned, emb.limit(20),
+        "vec_id", "embedding", cb0, 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(!topWithPoison.contains(999999L),
+      "a dimension-mismatched corpus row ranked as a top neighbor")
   }
 
   test("knownCorpusSize hint: auto-bits plan construction runs ZERO jobs, results unchanged") {

@@ -120,10 +120,17 @@ class TextOpsSpec extends SparkSuite {
       "http://Example.com:80/a/?utm_medium=email" -> "http://example.com/a",
       // tracking param FIRST: separator cleanup must not leave "?&"
       "https://h.io/p?utm_source=x&q=1&fbclid=abc" -> "https://h.io/p?q=1",
-      // lookalikes preserved: ":80" in the path, "myutm_x" param, non-default
-      // port, case-sensitive path, www not at host start
+      // CONSECUTIVE tracking params, first in query position
+      "https://h.io/p?utm_a=1&utm_b=2&q=3" -> "https://h.io/p?q=3",
+      // lookalikes preserved: ":80" in the path, "myutm_x" param (alone AND
+      // next to a real param), cross-scheme default ports, non-default
+      // port, case-sensitive path, www not at host start, path-&
       "https://h.io/ratio:80/x" -> "https://h.io/ratio:80/x",
       "https://h.io/p?myutm_x=1" -> "https://h.io/p?myutm_x=1",
+      "https://h.io/p?myutm_x=1&q=2" -> "https://h.io/p?myutm_x=1&q=2",
+      "http://h.io:443/x" -> "http://h.io:443/x",
+      "https://h.io:80/x" -> "https://h.io:80/x",
+      "https://h.io/a&b" -> "https://h.io/a&b",
       "https://h.io:8080/P" -> "https://h.io:8080/P",
       "https://notwww.example.com/CaseSensitive" -> "https://notwww.example.com/CaseSensitive",
       // no scheme: string passes through the host-lowering untouched

@@ -84,6 +84,14 @@ class TrainingOpsSpec extends SparkSuite {
       Seq((5000L, "one"))).toDF("id", "dom")
     val keptTiny = TrainingOps.temperatureSample(tiny, "id", "dom", 5000)
     assert(keptTiny.filter(col("dom") === "one").count() <= 1)
+    // NULL domains are a real group (null-safe join): they sample like any
+    // other domain instead of silently vanishing
+    val withNull = ((0 until 200).map(i => (i.toLong, Some("big"))) ++
+      (1000 until 1200).map(i => (i.toLong, None: Option[String])))
+      .toDF("id", "dom")
+    val keptNull = TrainingOps.temperatureSample(withNull, "id", "dom", 300)
+      .filter(col("dom").isNull).count()
+    assert(keptNull > 50, s"null-domain rows must survive sampling (kept $keptNull)")
   }
 
   test("decontaminate: planted eval overlap is flagged with exact distinct-ngram counts") {
