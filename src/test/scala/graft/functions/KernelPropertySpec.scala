@@ -111,6 +111,96 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cdcChunks ≡ naive boundary-split; concatenation is lossless") {
+    val genText = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("alpha", "beta", "g", "中文", "x9", "longword"))
+        .map(_.mkString(" ")))
+    def naivePoly(s: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i); acc = (acc * 31 + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    def naive(text: String, avg: Int): Seq[String] = {
+      val ws = if (text.trim == "") Array("")
+        else text.trim.split("\\s+", -1) // fixture has plain spaces only
+      val out = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer(ws(0)))
+      for (i <- 1 until ws.length) {
+        if (naivePoly(ws(i)) % avg == 0) out += scala.collection.mutable.ArrayBuffer(ws(i))
+        else out.last += ws(i)
+      }
+      out.map(_.mkString(" ")).toSeq
+    }
+    for (i <- 1 to N; avg <- Seq(2, 8)) {
+      val text = sample(genText, i)
+      val got = {
+        val a = Hashing.cdcChunks(UTF8String.fromString(text), avg)
+        (0 until a.numElements()).map(j => a.getUTF8String(j).toString)
+      }
+      assert(got === naive(text, avg), s"seed $i avg $avg: '$text'")
+      // losslessness: chunks joined = normalized text
+      assert(got.mkString(" ") === naive(text, avg).mkString(" "))
+    }
+  }
+
+  test("topNgramScore ≡ naive sliding-count max for arbitrary word lists") {
+    val genText = Gen.chooseNum(0, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "cc", "中")).map(_.mkString(" ")))
+    def naive(text: String, n: Int): Long = {
+      val ws = if (text.trim == "") Array("") else text.trim.split("\\s+", -1)
+      if (ws.length < n) return 0L
+      val grams = ws.sliding(n).map(_.mkString(" ")).toSeq
+      grams.groupBy(identity).map { case (g, occ) =>
+        occ.size.toLong * g.codePointCount(0, g.length)
+      }.max
+    }
+    for (i <- 1 to N; n <- Seq(2, 3)) {
+      val text = sample(genText, i)
+      assert(Hashing.topNgramScore(UTF8String.fromString(text), n) === naive(text, n),
+        s"seed $i n=$n: '$text'")
+    }
+  }
+
+  test("bpeEncode: round-trip lossless and token count <= codepoint count, arbitrary merges") {
+    val genWords = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "ab", "bab", "abcabc", "x", "中a中")))
+    val genMerges = Gen.chooseNum(0, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a a", "a b", "b a", "ab c", "中 a")))
+    for (i <- 1 to N) {
+      val words = sample(genWords, 2 * i)
+      val merges = sample(genMerges, 2 * i + 1).distinct
+      val text = words.mkString(" ")
+      val a = Hashing.bpeEncode(UTF8String.fromString(text), merges.mkString("\n"))
+      val toks = (0 until a.numElements()).map(j => a.getUTF8String(j).toString)
+      assert(toks.mkString("") === words.mkString(""),
+        s"seed $i: tokens must concatenate to the words ('$text', $merges)")
+      assert(toks.length <= text.replace(" ", "").codePointCount(0, text.replace(" ", "").length),
+        s"seed $i: more tokens than code points")
+    }
+  }
+
+  test("pqEncode/pqLut/pqAdc consistency: self-distance of a centroid vector is 0, adc = lut sum") {
+    val dim = 8; val m = 2; val dsub = 4; val ksub = 3
+    val genVec = Gen.listOfN(dim, Gen.chooseNum(-5f, 5f))
+    for (i <- 1 to 100) {
+      val cents = (0 until ksub).map(c => sample(genVec, 3 * i + c))
+      val flat = new Array[Float](m * ksub * dsub)
+      for (c <- 0 until ksub; s <- 0 until m; d <- 0 until dsub)
+        flat(((s * ksub) + c) * dsub + d) = cents(c)(s * dsub + d)
+      // a centroid vector encodes to its own index per sub and self-ADC 0
+      val v = floats(cents(i % ksub))
+      val codes = Hashing.pqEncode(v, true, flat, m, ksub, dsub)
+      val lut = Hashing.pqLut(v, true, flat, m, ksub, dsub)
+      assert(Hashing.pqAdc(codes, lut, ksub) === 0.0, s"seed $i self-distance")
+      // adc ≡ sum of lut entries at the codes
+      val manual = (0 until m).map(s2 =>
+        lut.getDouble(s2 * ksub + codes.getInt(s2))).sum
+      assert(Hashing.pqAdc(codes, lut, ksub) === manual, s"seed $i adc sum")
+    }
+  }
+
   test("affine mix family regression pin (streams used by the retry-ledger oracle)") {
     // q_retry_ledger's DuckDB oracle hard-codes streams 101-103 of the
     // affine family; pin concrete values so an accidental constant change
