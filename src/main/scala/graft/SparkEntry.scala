@@ -424,6 +424,16 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "q_sample_token_budget" -> ((s, d) => {
+      // sample sized to a TOKEN budget (50k of the corpus' ~250k):
+      // integer per-million rate from one token-total agg, then the
+      // zero-shuffle hash keep filter
+      val docs = t(s, d, "documents")
+        .withColumn("n_tok", size(TextOps.words(col("text"))).cast("long"))
+      TrainingOps.sampleToTokenBudget(docs, "doc_id", "n_tok", 50000L)
+        .select("doc_id", "n_tok").orderBy("doc_id")
+    }),
+
     "q_shuffle_shards" -> ((s, d) =>
       // deterministic global shuffle: hash-shard + in-shard rank, the
       // pre-training corpus randomization (reproducible, no RNG state)
@@ -1212,6 +1222,15 @@ object SparkEntry {
            CAST(max(CASE WHEN s = 6 THEN cid END) AS INT) AS c6,
            CAST(max(CASE WHEN s = 7 THEN cid END) AS INT) AS c7
          FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""",
+    "q_sample_token_budget" ->
+      """WITH n AS (SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+         FROM documents),
+         t AS (SELECT sum(n_tok) AS tot FROM n),
+         r AS (SELECT least(1000000, CAST(floor(50000 * 1000000.0 / tot) AS BIGINT)) AS rate FROM t)
+         SELECT doc_id, n_tok FROM n, r
+         WHERE ((doc_id % 1000000007) * 654435890 + 1014466472) % 1000000007 % 1000000 < rate
+         ORDER BY doc_id""",
     "q_shuffle_shards" ->
       """WITH h AS (SELECT doc_id,
            ((doc_id % 1000000007) * 654435830 + 1014228902) % 1000000007 AS hh

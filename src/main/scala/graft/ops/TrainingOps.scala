@@ -117,6 +117,29 @@ object TrainingOps {
   }
 
   /**
+   * Deterministic sample sized to a TOKEN budget (how training runs are
+   * actually provisioned — "give me ~2B tokens of this corpus", not a row
+   * count): one map-side-combining token-total aggregate derives an
+   * integer per-million keep rate, then the keep decision is the same
+   * zero-shuffle scan filter as [[stratifiedSample]]. Expected kept
+   * tokens ≈ budget (hash-uniform over documents, so the realized total
+   * varies by the corpus' token-count dispersion); rate 1e6 keeps
+   * everything when the corpus is under budget. Integer rate arithmetic
+   * end-to-end — bit-reproducible in the DuckDB oracle.
+   */
+  def sampleToTokenBudget(df: DataFrame, idCol: String, nTokCol: String,
+                          tokenBudget: Long): DataFrame = {
+    require(tokenBudget >= 0)
+    val total = df.agg(sum(col(nTokCol)).cast("long").as("__tot"))
+    val rated = df.crossJoin(broadcast(total))
+      .withColumn("__rate",
+        least(lit(1000000L), floor(lit(tokenBudget) * lit(1000000.0) / col("__tot"))
+          .cast("long")))
+    rated.filter(pmod(mix(col(idCol), 71), lit(1000000L)) < col("__rate"))
+      .drop("__tot", "__rate")
+  }
+
+  /**
    * Corpus vocabulary statistics: the `topK` most frequent words with
    * document frequency — the standard pre-tokenizer corpus report. Shape:
    * explode → two-level aggregate (partial map-side combine per word) →

@@ -30,6 +30,24 @@ class TrainingOpsSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("sampleToTokenBudget: kept tokens track the budget; under-budget keeps all; deterministic") {
+    val withTok = docs.withColumn("n_tok",
+      size(graft.ops.TextOps.words(col("text"))).cast("long"))
+    val total = withTok.agg(sum("n_tok")).as[Long].head()
+    val budget = total / 5
+    val kept = TrainingOps.sampleToTokenBudget(withTok, "doc_id", "n_tok", budget)
+    val keptTok = kept.agg(sum("n_tok")).as[Long].head()
+    assert(math.abs(keptTok - budget).toDouble / budget < 0.25,
+      s"kept $keptTok tokens vs budget $budget")
+    // deterministic (and partitioning-invariant, like every hash sample)
+    val again = TrainingOps.sampleToTokenBudget(withTok.repartition(7),
+      "doc_id", "n_tok", budget).select("doc_id").as[Long].collect().sorted
+    assert(again.toSeq === kept.select("doc_id").as[Long].collect().sorted.toSeq)
+    // a budget above the corpus keeps every row (rate caps at 1e6)
+    assert(TrainingOps.sampleToTokenBudget(withTok, "doc_id", "n_tok",
+      total * 2).count() === withTok.count())
+  }
+
   test("shuffleShards: deterministic permutation, dense per-shard positions, partition-invariant") {
     val nShards = 4
     val out = TrainingOps.shuffleShards(docs, "doc_id", nShards)
