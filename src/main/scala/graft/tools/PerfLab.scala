@@ -32,7 +32,40 @@ object PerfLab {
     case "cond"    => cond()
     case "sinkab"  => sinkAb()
     case "dictab"  => dictAb()
+    case "writerab" => writerAb()
     case other     => sys.error(s"unknown mode $other")
+  }
+
+  /** A/B the V1 write path's partition-sort: planned writes (3.4+ default)
+    * SORT each sink's rows by partition columns before writing so one
+    * writer is open at a time; spark.sql.maxConcurrentOutputFileWriters>0
+    * skips that sort and keeps N writers open per task. The record sinks
+    * partitionBy low-cardinality columns (5 types × 8 salts), so the
+    * open-writer count is bounded — the sort is pure overhead IF memory
+    * for concurrent writers is there. Same interleaved protocol. */
+  private def writerAb(): Unit = {
+    val variants = Seq(
+      "sorted_write" -> Seq("spark.sql.maxConcurrentOutputFileWriters" -> "0"),
+      "concurrent_writers" -> Seq("spark.sql.maxConcurrentOutputFileWriters" -> "48"))
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (round <- 1 to 3; (name, confs) <- variants) {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      val b = GraftSession.builder("local[32]", 32, s"writerab-$name")
+      confs.foreach { case (k, v) => b.config(k, v) }
+      val spark = b.getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      graft.util.Scratch.withTempDir("perfab_warm") { w =>
+        Pipeline.run(spark, DataGen.sequences(spark, 10000L, 8), w)
+      }
+      val t = graft.util.Scratch.withTempDir("perfab") { out =>
+        time(Pipeline.run(spark, DataGen.sequences(spark, 1000000L, 64), out))
+      }
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      println(f"ROUND $round $name%-18s $t%6.2f best=${best(name)}%6.2f")
+      spark.stop()
+    }
+    best.foreach { case (n, t) => println(f"WRITERAB $n%-18s $t%6.2f s") }
   }
 
   /** A/B parquet dictionary encoding on the full pipeline. The record
