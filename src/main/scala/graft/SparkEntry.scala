@@ -1227,7 +1227,7 @@ object SparkEntry {
            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
          FROM documents),
          t AS (SELECT sum(n_tok) AS tot FROM n),
-         r AS (SELECT least(1000000, CAST(floor(50000 * 1000000.0 / tot) AS BIGINT)) AS rate FROM t)
+         r AS (SELECT least(1000000, greatest(1, CAST(floor(50000 * 1000000.0 / tot) AS BIGINT))) AS rate FROM t)
          SELECT doc_id, n_tok FROM n, r
          WHERE ((doc_id % 1000000007) * 654435890 + 1014466472) % 1000000007 % 1000000 < rate
          ORDER BY doc_id""",
@@ -1243,7 +1243,8 @@ object SparkEntry {
          w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS w FROM c),
          t AS (SELECT sum(w) AS tw FROM w),
          q AS (SELECT lang, n, least(n, CAST(floor(CAST(2000 AS DOUBLE) * w / tw) AS BIGINT)) AS quota FROM w, t)
-         SELECT d.doc_id, d.lang FROM documents d JOIN q ON d.lang = q.lang
+         SELECT d.doc_id, d.lang FROM documents d
+           JOIN q ON d.lang IS NOT DISTINCT FROM q.lang
          WHERE ((d.doc_id % 1000000007) * 654435862 + 1014355606) % 1000000007 % q.n < q.quota
          ORDER BY d.doc_id""",
     "q_url_canonical" ->
@@ -1256,10 +1257,10 @@ object SparkEntry {
            substr(url, length(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1) AS c FROM u),
          s2 AS (SELECT doc_id, url, regexp_replace(c, '#.*$', '', 'g') AS c FROM s1),
          s3 AS (SELECT doc_id, url,
-           CASE WHEN regexp_matches(c, '[?&](utm_[a-z]+|fbclid|gclid)=')
-             THEN regexp_replace(regexp_replace(c, '[?&](utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
-                    '^([^?]*)&', '\1?')
-             ELSE c END AS c FROM s2),
+           regexp_replace(regexp_replace(regexp_replace(c,
+             '\?((?:utm_[a-z]+|fbclid|gclid)=[^&]*&)+', '?', 'g'),
+             '&(?:utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+             '\?(?:utm_[a-z]+|fbclid|gclid)=[^&]*$', '') AS c FROM s2),
          s5 AS (SELECT doc_id, url,
            regexp_replace(c, '^(http://[^/?#:]*):80([/?]|$)', '\1\2') AS c FROM s3),
          s6 AS (SELECT doc_id, url,

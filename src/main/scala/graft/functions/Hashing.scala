@@ -189,8 +189,13 @@ object Hashing {
 
   private def bpeRank(mergesSpec: String): java.util.HashMap[String, Integer] = {
     // bounded: a long-lived executor cycling through many merge tables
-    // (per-slice retraining) must not accumulate them forever
-    if (bpeTables.size > 64) bpeTables.clear()
+    // (per-slice retraining) must not accumulate them forever — evict ONE
+    // arbitrary entry, never the whole map (a clear() would thrash every
+    // hot table once the working set crosses the bound)
+    if (bpeTables.size > 64 && !bpeTables.containsKey(mergesSpec)) {
+      val it = bpeTables.keySet().iterator()
+      if (it.hasNext) { it.next(); it.remove() }
+    }
     bpeTables.computeIfAbsent(mergesSpec, spec => {
       val m = new java.util.HashMap[String, Integer]()
       if (spec.nonEmpty) {

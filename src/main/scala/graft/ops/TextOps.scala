@@ -160,19 +160,16 @@ object TextOps {
     val schemeHost = regexp_extract(url, schemeHostRe, 0)
     val lowered = concat(lower(schemeHost), expr_substrAfter(url, schemeHost))
     val noFrag = regexp_replace(lowered, "#.*$", "")
-    // tracking strip, LEFT-ANCHORED to its ?/& separator (a param whose
-    // name merely CONTAINS a tracking name — "myutm_x" — is data): every
-    // tracking param is removed together with its own separator, then a
-    // surviving first param that lost its '?' gets it back (the ^[^?]*&
-    // pattern can only match once — ^ never re-anchors — so Spark's
-    // always-global replace behaves as replace-first in both engines)
-    val noTrk1 = regexp_replace(noFrag, "[?&](utm_[a-z]+|fbclid|gclid)=[^&]*", "")
-    // the '?' restore runs ONLY on URLs that actually lost a tracking
-    // param (an unencoded '&' in the PATH of an untouched URL stays data;
-    // for stripped URLs a path-& remains the one documented ambiguity)
-    val hadTrk = noFrag.rlike("[?&](utm_[a-z]+|fbclid|gclid)=")
-    val noTrk = when(hadTrk, regexp_replace(noTrk1, "^([^?]*)&", "$1?"))
-      .otherwise(noTrk1)
+    // tracking strip, anchored to each param's own ?/& separator (a param
+    // whose name merely CONTAINS a tracking name — "myutm_x" — is data)
+    // with NO restore step, so an unencoded '&' in the path/userinfo is
+    // never rewritten: (a) a run of tracking params right after '?'
+    // collapses back to '?'; (b) '&'-led tracking params drop with their
+    // '&'; (c) a lone trailing '?tracking' drops entirely
+    val trk = "(?:utm_[a-z]+|fbclid|gclid)"
+    val noTrkA = regexp_replace(noFrag, s"\\?($trk=[^&]*&)+", "?")
+    val noTrkB = regexp_replace(noTrkA, s"&$trk=[^&]*", "")
+    val noTrk = regexp_replace(noTrkB, s"\\?$trk=[^&]*$$", "")
     // default ports are stripped only when paired with THEIR scheme —
     // http://h:443 is a distinct origin and must survive; anchored to the
     // authority, so a literal ":80" inside the PATH is data

@@ -124,17 +124,21 @@ object TrainingOps {
    * zero-shuffle scan filter as [[stratifiedSample]]. Expected kept
    * tokens ≈ budget (hash-uniform over documents, so the realized total
    * varies by the corpus' token-count dispersion); rate 1e6 keeps
-   * everything when the corpus is under budget. Integer rate arithmetic
-   * end-to-end — bit-reproducible in the DuckDB oracle.
+   * everything when the corpus is under budget, and a POSITIVE budget
+   * never floors to an empty sample — per-million granularity means the
+   * smallest non-empty rate keeps ~1e-6 of the corpus, the documented
+   * resolution floor. Integer rate arithmetic end-to-end —
+   * bit-reproducible in the DuckDB oracle.
    */
   def sampleToTokenBudget(df: DataFrame, idCol: String, nTokCol: String,
                           tokenBudget: Long): DataFrame = {
     require(tokenBudget >= 0)
     val total = df.agg(sum(col(nTokCol)).cast("long").as("__tot"))
+    val rawRate = floor(lit(tokenBudget) * lit(1000000.0) / col("__tot")).cast("long")
     val rated = df.crossJoin(broadcast(total))
       .withColumn("__rate",
-        least(lit(1000000L), floor(lit(tokenBudget) * lit(1000000.0) / col("__tot"))
-          .cast("long")))
+        if (tokenBudget == 0L) lit(0L)
+        else least(lit(1000000L), greatest(lit(1L), rawRate)))
     rated.filter(pmod(mix(col(idCol), 71), lit(1000000L)) < col("__rate"))
       .drop("__tot", "__rate")
   }

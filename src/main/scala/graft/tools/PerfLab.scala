@@ -43,103 +43,69 @@ object PerfLab {
     * partitionBy low-cardinality columns (5 types × 8 salts), so the
     * open-writer count is bounded — the sort is pure overhead IF memory
     * for concurrent writers is there. Same interleaved protocol. */
-  private def writerAb(): Unit = {
-    val variants = Seq(
-      "sorted_write" -> Seq("spark.sql.maxConcurrentOutputFileWriters" -> "0"),
-      "concurrent_writers" -> Seq("spark.sql.maxConcurrentOutputFileWriters" -> "48"))
+  /** Shared interleaved A/B harness: rounds of (a,b,...),(a,b,...) so all
+    * variants sample the same contention epochs; fresh session per cell,
+    * one warm run, best-of per variant. Every knob must be EXPLICIT in
+    * every variant — a variant that "passes nothing" silently runs the
+    * current GraftSession defaults and makes the A/B vacuous. */
+  private def abHarness(tag: String,
+                        variants: Seq[(String, Seq[(String, String)])],
+                        rounds: Int = 3): Unit = {
+    val width = variants.map(_._1.length).max
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
-    for (round <- 1 to 3; (name, confs) <- variants) {
+    for (round <- 1 to rounds; (name, confs) <- variants) {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
-      val b = GraftSession.builder("local[32]", 32, s"writerab-$name")
+      val b = GraftSession.builder("local[32]", 32, s"$tag-$name")
       confs.foreach { case (k, v) => b.config(k, v) }
       val spark = b.getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       graft.util.Scratch.withTempDir("perfab_warm") { w =>
-        Pipeline.run(spark, DataGen.sequences(spark, 10000L, 8), w)
+        Pipeline.run(spark, DataGen.sequences(spark, 10000L, 8), w) // warm
       }
       val t = graft.util.Scratch.withTempDir("perfab") { out =>
         time(Pipeline.run(spark, DataGen.sequences(spark, 1000000L, 64), out))
       }
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
-      println(f"ROUND $round $name%-18s $t%6.2f best=${best(name)}%6.2f")
+      println(("ROUND %d %-" + width + "s %6.2f best=%6.2f")
+        .format(round, name, t, best(name)))
       spark.stop()
     }
-    best.foreach { case (n, t) => println(f"WRITERAB $n%-18s $t%6.2f s") }
+    best.foreach { case (n, t) =>
+      println(("%s %-" + width + "s %6.2f s").format(tag.toUpperCase, n, t)) }
   }
+
+  private def writerAb(): Unit = abHarness("writerab", Seq(
+    "sorted_write" -> Seq("spark.sql.maxConcurrentOutputFileWriters" -> "0"),
+    "concurrent_writers" -> Seq("spark.sql.maxConcurrentOutputFileWriters" -> "48")))
 
   /** A/B parquet dictionary encoding on the full pipeline. The record
     * sinks write HIGH-CARDINALITY string columns (per-row JSON bodies,
     * token-array JSON): dictionary building on near-unique values is pure
     * overhead — the page dictionary fills, falls back to plain, and the
     * build work is discarded. Same interleaved-rounds protocol as sinkab. */
-  private def dictAb(): Unit = {
-    val variants = Seq(
-      "dict_on" -> Seq("spark.hadoop.parquet.enable.dictionary" -> "true"),
-      "dict_off" -> Seq("spark.hadoop.parquet.enable.dictionary" -> "false"))
-    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
-    for (round <- 1 to 3; (name, confs) <- variants) {
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
-      val b = GraftSession.builder("local[32]", 32, s"dictab-$name")
-      confs.foreach { case (k, v) => b.config(k, v) }
-      val spark = b.getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
-      graft.util.Scratch.withTempDir("perfab_warm") { w =>
-        Pipeline.run(spark, DataGen.sequences(spark, 10000L, 8), w) // warm
-      }
-      val t = graft.util.Scratch.withTempDir("perfab") { out =>
-        time(Pipeline.run(spark, DataGen.sequences(spark, 1000000L, 64), out))
-      }
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
-      println(f"ROUND $round $name%-10s $t%6.2f best=${best(name)}%6.2f")
-      spark.stop()
-    }
-    best.foreach { case (n, t) => println(f"DICTAB $n%-10s $t%6.2f s") }
-  }
+  private def dictAb(): Unit = abHarness("dictab", Seq(
+    "dict_on" -> Seq("spark.hadoop.parquet.enable.dictionary" -> "true"),
+    "dict_off" -> Seq("spark.hadoop.parquet.enable.dictionary" -> "false")))
 
   /** A/B the sink-write I/O knobs on the full pipeline: output committer
     * v1 vs v2 (v1 serializes task-file renames on the driver at job
     * commit; v2 renames in the tasks) × parquet codec snappy vs lz4.
     * INTERLEAVED rounds (a,b,c,d),(a,b,c,d),... so all variants sample the
     * same contention epochs; best-of per variant. */
-  private def sinkAb(): Unit = {
-    // every knob EXPLICIT in every variant: GraftSession now defaults to
-    // v2+lz4 (this experiment's winner), so a variant that "passes nothing"
-    // would silently run the winner and make the A/B vacuous
-    val variants = Seq(
-      "v1_snappy" -> Seq(
-        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "1",
-        "spark.sql.parquet.compression.codec" -> "snappy"),
-      "v2_snappy" -> Seq(
-        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "2",
-        "spark.sql.parquet.compression.codec" -> "snappy"),
-      "v1_lz4" -> Seq(
-        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "1",
-        "spark.sql.parquet.compression.codec" -> "lz4"),
-      "v2_lz4" -> Seq(
-        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "2",
-        "spark.sql.parquet.compression.codec" -> "lz4"))
-    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
-    for (round <- 1 to 3; (name, confs) <- variants) {
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
-      val b = GraftSession.builder("local[32]", 32, s"sinkab-$name")
-      confs.foreach { case (k, v) => b.config(k, v) }
-      val spark = b.getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
-      graft.util.Scratch.withTempDir("perfab_warm") { w =>
-        Pipeline.run(spark, DataGen.sequences(spark, 10000L, 8), w) // warm
-      }
-      val t = graft.util.Scratch.withTempDir("perfab") { out =>
-        time(Pipeline.run(spark, DataGen.sequences(spark, 1000000L, 64), out))
-      }
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
-      println(f"ROUND $round $name%-10s $t%6.2f best=${best(name)}%6.2f")
-      spark.stop()
-    }
-    best.foreach { case (n, t) => println(f"SINKAB $n%-10s $t%6.2f s") }
-  }
+  private def sinkAb(): Unit = abHarness("sinkab", Seq(
+    "v1_snappy" -> Seq(
+      "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "1",
+      "spark.sql.parquet.compression.codec" -> "snappy"),
+    "v2_snappy" -> Seq(
+      "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "2",
+      "spark.sql.parquet.compression.codec" -> "snappy"),
+    "v1_lz4" -> Seq(
+      "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "1",
+      "spark.sql.parquet.compression.codec" -> "lz4"),
+    "v2_lz4" -> Seq(
+      "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "2",
+      "spark.sql.parquet.compression.codec" -> "lz4")))
 
   private def stages(): Unit = {
     val n = 4000000L

@@ -140,8 +140,11 @@ class KernelPropertySpec extends AnyFunSuite {
         (0 until a.numElements()).map(j => a.getUTF8String(j).toString)
       }
       assert(got === naive(text, avg), s"seed $i avg $avg: '$text'")
-      // losslessness: chunks joined = normalized text
-      assert(got.mkString(" ") === naive(text, avg).mkString(" "))
+      // losslessness vs the NORMALIZED INPUT (independent of naive — a
+      // shared word-dropping bug in both would fail here)
+      val normalized =
+        if (text.trim == "") "" else text.trim.split("\\s+", -1).mkString(" ")
+      assert(got.mkString(" ") === normalized, s"seed $i avg $avg reassembly")
     }
   }
 

@@ -131,6 +131,10 @@ class TextOpsSpec extends SparkSuite {
       "http://h.io:443/x" -> "http://h.io:443/x",
       "https://h.io:80/x" -> "https://h.io:80/x",
       "https://h.io/a&b" -> "https://h.io/a&b",
+      // path-& survives even WHEN tracking params are stripped (the old
+      // '?'-restore rewrote the path ampersand)
+      "https://h.io/a&b?utm_source=x&q=1" -> "https://h.io/a&b?q=1",
+      "https://h.io/a&b?utm_source=x" -> "https://h.io/a&b",
       "https://h.io:8080/P" -> "https://h.io:8080/P",
       "https://notwww.example.com/CaseSensitive" -> "https://notwww.example.com/CaseSensitive",
       // no scheme: string passes through the host-lowering untouched
