@@ -340,6 +340,11 @@ case class PqEncodeExpr(child: Expression, flat: Array[Float],
   require(m > 0 && ksub > 0 && dsub > 0 && flat.length == m * ksub * dsub)
   protected def vectorChild: Expression = child
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // dimension-mismatched NON-NULL input yields null (poison row): the
+  // output is nullable regardless of the child's nullability — inheriting
+  // it would let the optimizer drop the isNotNull poison filters downstream
+  // AND breaks nullSafeCodeGen (assignment to a literal-false isNull)
+  override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
     Hashing.pqEncode(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       isFloatArray, flat, m, ksub, dsub)
@@ -361,6 +366,8 @@ case class PqLutExpr(child: Expression, flat: Array[Float],
   require(m > 0 && ksub > 0 && dsub > 0 && flat.length == m * ksub * dsub)
   protected def vectorChild: Expression = child
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // nullable for the same poison-row reason as PqEncodeExpr
+  override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
     Hashing.pqLut(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       isFloatArray, flat, m, ksub, dsub)
@@ -457,6 +464,9 @@ case class WordChunksExpr(child: Expression, chunkWords: Int)
   * regroup reference formulation in FunctionsSpec. */
 case class CdcChunksExpr(child: Expression, avgChunkWords: Int)
     extends UnaryExpression {
+  // fail at construction, not as an executor-side ArithmeticException in
+  // the kernel's `% avgChunkWords`
+  require(avgChunkWords > 0, s"cdc_chunks needs avgChunkWords > 0, got $avgChunkWords")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     Hashing.cdcChunks(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
@@ -472,6 +482,7 @@ case class CdcChunksExpr(child: Expression, avgChunkWords: Int)
   * FunctionsSpec. */
 case class TopNgramScoreExpr(child: Expression, n: Int)
     extends UnaryExpression {
+  require(n > 0, s"top_ngram_score needs n > 0, got $n")
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     Hashing.topNgramScore(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)

@@ -108,7 +108,11 @@ object DedupOps {
     require(k % bands == 0,
       s"k=$k must divide into bands=$bands (trailing minhashes would be silently unused)")
     val rowsPer = k / bands
-    val src = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // scan-parallelism floor (guide §2.5): the signature/shingle kernels
+    // run in the scan stage; a single-row-group input would compute them
+    // all on one core. No-op at scale (more splits than cores).
+    val src = graft.util.Par.ensure(
+      df.select(col(idCol).as("id"), col(textCol).as("text")))
     // Band exchange carries ONLY (id, band, band_hash) — at 100 TB the
     // shuffle payload is keys, not shingle sets (which are ~KB/row and
     // would ride the exchange ×bands copies). Column pruning keeps the
@@ -195,7 +199,8 @@ object DedupOps {
     val sigCol =
       if (portable) graft.functions.GraftFunctions.simhash_poly(col(textCol), bits)
       else graft.functions.GraftFunctions.simhash64(col(textCol))
-    val sigd = df.select(col(idCol).as("id"), sigCol.as("sig"))
+    // scan-parallelism floor — the signature kernel runs in the scan stage
+    val sigd = graft.util.Par.ensure(df.select(col(idCol).as("id"), sigCol.as("sig")))
     val chunked = sigd.withColumn("chunk", explode(array((0 until chunks).map { c =>
       val lo = c * width
       val w = math.min(width, bits - lo)
@@ -395,8 +400,9 @@ object DedupOps {
     // one codegen kernel call per row (word_chunks ≡ TextOps.wordChunks,
     // FunctionsSpec-pinned): the HOF formulation both interprets its
     // lambda per element AND — without a projection barrier — re-splits
-    // the whole text per chunk index (no CSE inside HOF lambdas)
-    val chunked = df.select(col(idCol).as("id"),
+    // the whole text per chunk index (no CSE inside HOF lambdas).
+    // Par.ensure: chunking + the partial_min both run pre-exchange.
+    val chunked = graft.util.Par.ensure(df).select(col(idCol).as("id"),
       posexplode(graft.functions.GraftFunctions.word_chunks(col(textCol), chunkWords))
         .as(Seq("idx", "chunk")))
     keepFirstAndReassemble(chunked, fingerprintSpans)
@@ -473,7 +479,7 @@ object DedupOps {
   def spanDedupCdc(df: DataFrame, idCol: String, textCol: String,
                    avgChunkWords: Int = 8, fingerprintSpans: Boolean = false): DataFrame = {
     require(avgChunkWords > 0)
-    val chunked = df.select(col(idCol).as("id"),
+    val chunked = graft.util.Par.ensure(df).select(col(idCol).as("id"),
       posexplode(graft.functions.GraftFunctions.cdc_chunks(col(textCol), avgChunkWords))
         .as(Seq("idx", "chunk")))
     keepFirstAndReassemble(chunked, fingerprintSpans)
@@ -520,7 +526,8 @@ object DedupOps {
     require(minJaccardPct >= 1 && minJaccardPct <= 100,
       s"minJaccardPct=$minJaccardPct: the prefix filter needs a positive threshold " +
       "(at 0 every pair qualifies vacuously — that's a cross join, not a similarity join)")
-    val src = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(textCol).as("text"))
+    val src = graft.util.Par.ensure(
+      df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(textCol).as("text")))
     // SINGLE-SCAN CONTRACT: the (id, shingles) projection is materialized
     // once (eager localCheckpoint) — the df-ordering explode and the two
     // per-surviving-pair fetch joins below all read these blocks instead of

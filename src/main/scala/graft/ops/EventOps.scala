@@ -130,6 +130,13 @@ object EventOps {
                        valueCol: String, outCol: String = "asof_value",
                        keepUnmatched: Boolean = false): DataFrame = {
     val leftCols = left.columns
+    // the plan builds through fixed temp columns; an input that already
+    // carries one of these names would be silently overwritten and dropped
+    val reserved = Seq("__ts", "__tag", "__v", "__last", "__matched")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"asofJoinBackward: input columns ${clash.mkString(", ")} collide with " +
+      s"reserved temp names (${reserved.mkString(", ")}) — rename them first")
     val vType = right.schema(valueCol).dataType
     // the carried payload is a STRUCT (marker, value): ignoreNulls must
     // skip only LEFT rows' placeholder, never a right row whose value is

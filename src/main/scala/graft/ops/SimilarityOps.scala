@@ -60,20 +60,49 @@ object SimilarityOps {
     graft.functions.GraftFunctions.cosine_sim(a, b)
 
   /**
+   * Per-group top-k over scored candidate rows — the shared rank tail of
+   * every probe here. For long ids (every corpus in this engine) it is the
+   * map-side-combining `topk_ids` aggregate (guide §2.3 — each map task
+   * collapses its slice of a group to ≤ k rows BEFORE the exchange, so the
+   * shuffle carries O(groups·k) rows instead of every scored pair, and the
+   * window's per-partition sort disappears; ordering semantics are pinned
+   * to the window formulation in FunctionsSpec). Non-long ids keep the
+   * window formulation.
+   */
+  private def rankTopK(scored: DataFrame, groupCol: String, keyCol: String,
+                       idCol: String, k: Int, desc: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    if (scored.schema(idCol).dataType == LongType) {
+      scored.groupBy(groupCol)
+        .agg(graft.functions.GraftAggregates.topk_ids(
+          col(keyCol), col(idCol), k, desc).as("__topk"))
+        .select(col(groupCol), posexplode(col("__topk")).as(Seq("__pos", idCol)))
+        .select(col(groupCol), col(idCol), (col("__pos") + 1).as("rank"))
+    } else {
+      val key = if (desc) col(keyCol).desc else col(keyCol).asc
+      val w = Window.partitionBy(groupCol).orderBy(key, col(idCol))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(groupCol, idCol, "rank")
+    }
+  }
+
+  /**
    * Exact top-k neighbors for each query vector (excluding self-matches by
    * id). Output: (query_id, neighbor_id, rank). Ties broken by neighbor id
-   * so results are deterministic.
+   * so results are deterministic. The corpus side's scan parallelism is
+   * floored (Par.ensure — the scoring happens IN the scan stage, and a
+   * single-row-group input would otherwise score n² pairs on one core);
+   * the rank is the map-side-combining top-k, not a window over all pairs.
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = graft.util.Par.ensure(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosineFast(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    rankTopK(scored, "query_id", "sim", "neighbor_id", k, desc = true)
   }
 
   /**
@@ -141,7 +170,12 @@ object SimilarityOps {
     val b0 =
       if (bits > 0) bits
       else occupancyBits(if (knownCorpusSize >= 0L) knownCorpusSize else src.count())
-    val signed = src.select(col("id"),
+    // scan-parallelism floor on the SIGNATURE side only: the ×tables
+    // kernels run in the scan stage, before the band exchange restores
+    // parallelism (no-op at scale). The per-pair vector-fetch joins below
+    // keep the raw scan — they exchange on the join key anyway and their
+    // scan stage computes nothing.
+    val signed = graft.util.Par.ensure(src).select(col("id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"), tableSignature(col("v"), b0, t).as("sig"))): _*))
         .as("ts"))
@@ -157,10 +191,7 @@ object SimilarityOps {
       .join(src.select(col("id").as("query_id"), col("v").as("qv")), Seq("query_id"))
       .join(src.select(col("id").as("neighbor_id"), col("v").as("cv")), Seq("neighbor_id"))
       .withColumn("sim", cosineFast(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    rankTopK(scored, "query_id", "sim", "neighbor_id", k, desc = true)
   }
 
   /**
@@ -187,8 +218,11 @@ object SimilarityOps {
     val mod = 1000000L
     val target = math.min(n, 64L * k)
     val thresh = if (n == 0) mod else math.min(mod, mod * target / n + 1)
-    // pin the (small, ≤64·k-row) sample: every Lloyd round re-scans it
-    val train = vecs.filter(pmod(xxhash64(col("id"), lit(17)), lit(mod)) < thresh)
+    // pin the (small, ≤64·k-row) sample: every Lloyd round re-scans it.
+    // Par.ensure: each round's assignment kernel runs over the pinned
+    // sample's partitioning — floor it at the core count (no-op at scale)
+    val train = graft.util.Par.ensure(
+        vecs.filter(pmod(xxhash64(col("id"), lit(17)), lit(mod)) < thresh))
       .localCheckpoint()
     // centroids live on the DRIVER between rounds (they are k × dim floats
     // — broadcast-sized by contract): each Lloyd round is then ONE job —
@@ -268,7 +302,7 @@ object SimilarityOps {
       if (centArr.isEmpty)
         vecs.filter(lit(false))
           .select(lit(0L).as("cid"), col("id").as("neighbor_id"), col("v").as("cv2"))
-      else vecs.select(
+      else graft.util.Par.ensure(vecs).select(
         explode(graft.functions.GraftFunctions.nearest_centroids(
           col("v"), centArr.toSeq, nHome)).as("cid"),
         col("id").as("neighbor_id"), col("v").as("cv2"))
@@ -288,7 +322,7 @@ object SimilarityOps {
     if (index.centroids.isEmpty)
       return queries.filter(lit(false)).select(col(idCol).as("query_id"),
         col(idCol).as("neighbor_id"), lit(1).as("rank"))
-    val probes = queries.select(
+    val probes = graft.util.Par.ensure(queries).select(
       explode(graft.functions.GraftFunctions.nearest_centroids(
         col(vecCol), index.centroids.toSeq, nProbe)).as("cid"),
       col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -302,10 +336,7 @@ object SimilarityOps {
       // vectors per candidate (~30x the bytes, measured ~2x probe latency)
       .withColumn("sim", cosineFast(col("qv"), col("cv2")))
       .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    rankTopK(scored, "query_id", "sim", "neighbor_id", k, desc = true)
   }
 
   /**
@@ -380,12 +411,12 @@ object SimilarityOps {
     val n = vecs.count()
     val target = math.min(n, 64L * nCoarse.toLong * nFinePerCell)
     val thresh = if (n == 0) mod else math.min(mod, mod * target / n + 1)
-    val sample = vecs
-      .filter(pmod(xxhash64(col("id"), lit(23)), lit(mod)) < thresh)
-      .select(col("id"), col("v"),
-        get(graft.functions.GraftFunctions.nearest_centroids(
-          col("v"), coarse.toSeq, 1), lit(0)).as("ccid"))
-      .filter(col("ccid").isNotNull)
+    val sample = graft.util.Par.ensure(vecs
+        .filter(pmod(xxhash64(col("id"), lit(23)), lit(mod)) < thresh)
+        .select(col("id"), col("v"),
+          get(graft.functions.GraftFunctions.nearest_centroids(
+            col("v"), coarse.toSeq, 1), lit(0)).as("ccid"))
+        .filter(col("ccid").isNotNull))
       .localCheckpoint()
     // init: up to nFinePerCell hash-ranked points per coarse cell ARE the
     // initial sub-centroids (k-means++-ish spread without extra passes)
@@ -432,7 +463,7 @@ object SimilarityOps {
     // inverted file keyed on the full (ccid, fcid) cell: nHome coarse homes
     // per vector (boundary replication, as in the flat build), nearest fine
     // list within each home
-    val homedCoarse = vecs.select(
+    val homedCoarse = graft.util.Par.ensure(vecs).select(
       explode(graft.functions.GraftFunctions.nearest_centroids(
         col("v"), coarse.toSeq, nHome)).as("ccid"),
       col("id").as("neighbor_id"), col("v").as("cv2"))
@@ -461,7 +492,7 @@ object SimilarityOps {
     if (index.coarse.isEmpty)
       return queries.filter(lit(false)).select(col(idCol).as("query_id"),
         col(idCol).as("neighbor_id"), lit(1).as("rank"))
-    val qprobes = queries.select(
+    val qprobes = graft.util.Par.ensure(queries).select(
       explode(graft.functions.GraftFunctions.nearest_centroids(
         col(vecCol), index.coarse.toSeq, nProbeCoarse)).as("ccid"),
       col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -478,10 +509,7 @@ object SimilarityOps {
       // rationale as ivfProbe
       .withColumn("sim", cosineFast(col("qv"), col("cv2")))
       .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    rankTopK(scored, "query_id", "sim", "neighbor_id", k, desc = true)
   }
 
   /**
@@ -535,8 +563,8 @@ object SimilarityOps {
       val mod = 1000000L
       val target = math.min(n, 64L * k0)
       val thresh = if (n == 0) mod else math.min(mod, mod * target / n + 1)
-      val train = vecs
-        .filter(pmod(xxhash64(col("id"), lit(19)), lit(mod)) < thresh)
+      val train = graft.util.Par.ensure(vecs
+          .filter(pmod(xxhash64(col("id"), lit(19)), lit(mod)) < thresh))
         .localCheckpoint()
       for (_ <- 1 to iters) {
         val means = train
@@ -564,7 +592,7 @@ object SimilarityOps {
     * persists — 8-16 B/vector instead of the raw embeddings. */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                cb: PqCodebook): DataFrame =
-    corpus.select(col(idCol).as("id"),
+    graft.util.Par.ensure(corpus).select(col(idCol).as("id"),
       graft.functions.GraftFunctions.pq_encode(
         col(vecCol), cb.flat, cb.m, cb.ksub, cb.dsub).as("codes"))
 
@@ -583,7 +611,7 @@ object SimilarityOps {
     val q = queries.select(col(idCol).as("query_id"),
       graft.functions.GraftFunctions.pq_lut(
         col(vecCol), cb.flat, cb.m, cb.ksub, cb.dsub).as("lut"))
-    val scored = encoded.crossJoin(broadcast(q))
+    val scored = graft.util.Par.ensure(encoded).crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("id"))
       .withColumn("dist",
         graft.functions.GraftFunctions.pq_adc(col("codes"), col("lut"), cb.ksub))
@@ -591,9 +619,7 @@ object SimilarityOps {
       // dist) must DROP here: ascending order is NULLS FIRST, so an
       // unfiltered null-dist row would outrank every real neighbor
       .filter(col("dist").isNotNull)
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, "query_id", "dist", "id", k, desc = false)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
   }
 
@@ -639,7 +665,7 @@ object SimilarityOps {
     if (index.centroids.isEmpty)
       return queries.filter(lit(false)).select(col(idCol).as("query_id"),
         col(idCol).as("neighbor_id"), lit(1).as("rank"))
-    val pairs = queries.select(
+    val pairs = graft.util.Par.ensure(queries).select(
         explode(graft.functions.GraftFunctions.nearest_centroids(
           col(vecCol), index.centroids.toSeq, nProbe)).as("cid"),
         col(idCol).as("query_id"))
@@ -657,9 +683,8 @@ object SimilarityOps {
       .withColumn("dist",
         graft.functions.GraftFunctions.pq_adc(col("codes"), col("lut"), cb.ksub))
       .filter(col("dist").isNotNull) // poison rows: see pqAdcTopK
-    val wSl = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
-    val cand = scored.withColumn("__sl", row_number().over(wSl))
-      .filter(col("__sl") <= shortlist)
+    val cand = rankTopK(scored, "query_id", "dist", "neighbor_id", shortlist,
+        desc = false)
       .select("query_id", "neighbor_id")
     exactRerank(cand, corpusVecs, queries, idCol, vecCol, k)
   }
@@ -680,10 +705,7 @@ object SimilarityOps {
                     (a.cast("double") - b.cast("double"))),
         lit(0.0), (acc, x) => acc + x))
       .filter(col("d2").isNotNull) // length-mismatched zip_with → null
-    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    rankTopK(scored, "query_id", "d2", "neighbor_id", k, desc = false)
   }
 
   /** Signature width that targets `targetOccupancy` vectors per bucket:
@@ -715,7 +737,8 @@ object SimilarityOps {
       if (bits > 0) bits
       else occupancyBits(
         if (knownCorpusSize >= 0L) knownCorpusSize else src.count(), targetOccupancy)
-    val signed = src.select(col("id"),
+    // signature scan floored; the per-pair fetch joins keep the raw scan
+    val signed = graft.util.Par.ensure(src).select(col("id"),
       graft.functions.GraftFunctions.lsh_signature(col("v"), b0).as("sig"))
     val a = signed.select(col("sig"), col("id").as("id_a"))
     val b = signed.select(col("sig"), col("id").as("id_b"))

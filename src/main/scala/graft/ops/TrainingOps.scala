@@ -218,7 +218,9 @@ object TrainingOps {
         explode(graft.functions.GraftFunctions.shingle_hashes(col(testTextCol), n))
           .as("tok"))
       .distinct()
-    corpus.select(col(idCol).as("id"),
+    // Par.ensure: the shingle explode + broadcast probe + partial count all
+    // run in the corpus scan stage (no-op at scale, see util.Par)
+    graft.util.Par.ensure(corpus).select(col(idCol).as("id"),
         explode(graft.functions.GraftFunctions.shingle_hashes(col(textCol), n))
           .as("tok"))
       .join(broadcast(testShingles), Seq("tok"))

@@ -25,6 +25,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // ObjectHashAggregate (the topk_ids probe tails) falls back to
+      // SORT-based aggregation after this many distinct keys per partition;
+      // the default 128 makes every ANN probe (thousands of query groups
+      // per partition) sort its scored candidates — including the embedding
+      // arrays the cosine/ADC key reads — which is exactly the all-rows
+      // sort the aggregate replaces. Top-k buffers are bounded (k ids +
+      // doubles each), so 4096 in-memory groups is ≤ a few MB per task;
+      // beyond it the graceful sort fallback still applies.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       // Sink-write I/O (PerfLab sinkab, interleaved best-of-3 at 10^6 rows):
       // committer v2 renames task files in the tasks instead of serially on
       // the driver at job commit (9.4 → 8.2 s headline), and lz4_raw trades
@@ -49,6 +58,13 @@ object GraftSession {
       // discarded. Flip back on for workloads writing low-cardinality
       // string columns at volume.
       .config("spark.hadoop.parquet.enable.dictionary", "false")
+      // Columnar-cache compression OFF (PerfLab cacheab, 6 interleaved
+      // rounds across two contention epochs: raw won 4/6, best 6.21 s vs
+      // 7.39 s full pipeline): the routed cache's dominant column is the
+      // near-random token array, where the columnar encoders spend their
+      // time to save almost nothing. Trade-off: a larger in-memory cache —
+      // flip back on when cache memory (not build CPU) is the constraint.
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       // oracle parity + deterministic goldens
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -149,14 +149,26 @@ object Pipeline {
       // sink job would build it while the others wait on cache locks).
       val routedCount = if (cfg.persistRouted) cached.count() else -1L
       // Output-file sizing for the record sinks (see targetRowsPerFile):
-      // never expands parallelism, only merges under-filled partitions.
+      // never expands parallelism, only merges under-filled partitions —
+      // FLOORED at the session default parallelism (guide §2.6 idle
+      // capacity): the sink writes dominate the run, and coalescing a small
+      // routed set below the core count (sf0.1: 393k rows / 250k target =
+      // 2 write tasks on 32 cores) idles the machine during its most
+      // expensive phase. At scale partsFor >> cores, so the floor never
+      // binds and file sizing is unchanged; locally it trades file size
+      // (rows/cores per file) for full write parallelism.
+      val writeParallelism = spark.sparkContext.defaultParallelism
       def partsFor(n: Long): Int =
         if (n >= 0 && cfg.targetRowsPerFile > 0)
           math.max(1L, (n + cfg.targetRowsPerFile - 1) / cfg.targetRowsPerFile).toInt
         else 0
       def sizedBy(df: DataFrame, n: Long): DataFrame = {
         val p = partsFor(n)
-        if (p > 0) df.coalesce(p) else df
+        // the floor itself is row-bounded (≥1k rows per write task) so a
+        // near-empty set (quarantine) still collapses to one file
+        val floor = math.min(writeParallelism.toLong,
+          math.max(1L, (n + 999) / 1000)).toInt
+        if (p > 0) df.coalesce(math.max(p, floor)) else df
       }
       def sized(df: DataFrame) = sizedBy(df, routedCount)
       // quarantine sized from ITS OWN count (usually ≈0; sizing it from the

@@ -33,8 +33,19 @@ object PerfLab {
     case "sinkab"  => sinkAb()
     case "dictab"  => dictAb()
     case "writerab" => writerAb()
+    case "cacheab" => cacheAb()
     case other     => sys.error(s"unknown mode $other")
   }
+
+  /** A/B the routed-cache build cost: columnar-cache compression on
+    * (default) vs off. The cache materialization measured ~4.7 s of the
+    * ~7.5 s pipeline (PipelineProfile round 6); the token arrays compress
+    * poorly (near-random ints) so the encode work may be mostly wasted. */
+  private def cacheAb(): Unit = abHarness("cacheab", Seq(
+    "columnar_compressed" -> Seq(
+      "spark.sql.inMemoryColumnarStorage.compressed" -> "true"),
+    "columnar_raw" -> Seq(
+      "spark.sql.inMemoryColumnarStorage.compressed" -> "false")))
 
   /** A/B the V1 write path's partition-sort: planned writes (3.4+ default)
     * SORT each sink's rows by partition columns before writing so one

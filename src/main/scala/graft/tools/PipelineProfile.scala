@@ -11,11 +11,10 @@ object PipelineProfile {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 1000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // GraftSession: profile under the SAME session configuration the bench
+    // runs (codec, dictionary, committer, AQE) — a raw session profiles a
+    // different write path
+    val spark = GraftSession.builder(s"local[$cpus]", cpus, "pipeline-profile")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // output dirs live only for the run — profiling litter filled the disk

@@ -111,6 +111,59 @@ object R06Measure {
         DedupOps.ngramJaccardPairs(d, "doc_id", "text", "lang", 2, 55).count()))
     }
 
+    if (mode == "ngram2") {
+      // sub-stage attribution of ngramJaccardPairs (replicates its phases)
+      val d = t("documents")
+      val src = graft.util.Par.ensure(d.select(col("lang").as("blk"),
+        col("doc_id").as("id"), col("text")))
+      var sized: DataFrame = null
+      p("ngram sized localCheckpoint", time {
+        sized = src.select(col("blk"), col("id"),
+            graft.functions.GraftFunctions.shingle_hashes(col("text"), 2).as("sh"))
+          .withColumn("ns", size(col("sh"))).localCheckpoint()
+      })
+      val exploded = sized.select(col("blk"), col("id"), col("ns"),
+        explode(col("sh")).as("tok"))
+      p("ngram exploded (noop)", time2(noop(exploded)))
+      val dfTable = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+      p("ngram dfTable (noop)", time2(noop(dfTable)))
+      val ordered = exploded.join(dfTable, Seq("tok"))
+        .groupBy("blk", "id", "ns")
+        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"))
+        .select(col("blk"), col("id"), col("ns"),
+          transform(col("st"), s => s.getField("tok")).as("shp"))
+      p("ngram ordered (noop)", time2(noop(ordered)))
+      val ceilT = floor((col("ns") * 55 + 99) / lit(100.0)).cast("int")
+      val pref = ordered.select(col("blk"), col("id"), col("ns"),
+        explode(slice(col("shp"), lit(1), greatest(col("ns") - ceilT + 1, lit(0)))).as("tok"))
+      val a = pref.select(col("blk"), col("tok"), col("id").as("id_a"), col("ns").as("ns_a"))
+      val b = pref.select(col("blk"), col("tok"), col("id").as("id_b"), col("ns").as("ns_b"))
+      val candidates = a.join(b, Seq("blk", "tok"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(least(col("ns_a"), col("ns_b")) * 100 >=
+                greatest(col("ns_a"), col("ns_b")) * 55)
+        .select("blk", "id_a", "id_b").dropDuplicates("id_a", "id_b")
+      p("ngram candidates (count)", time2(candidates.count()))
+    }
+
+    if (mode == "hier") {
+      val e = t("embeddings")
+      val nEmb = e.count()
+      val cN = math.max(16, math.sqrt(nEmb.toDouble).ceil.toInt)
+      val hc = math.max(4, math.sqrt(cN.toDouble).ceil.toInt)
+      val vecs = e.select(col("vec_id").as("id"), col("embedding").as("v"))
+      p("hier coarse kmeans", time2(
+        SimilarityOps.kmeansCentroids(vecs, hc, 2).collect()))
+      var hidx: SimilarityOps.HierIvfIndex = null
+      p("hier build total", time {
+        hidx = SimilarityOps.buildHierIvfIndex(e, "vec_id", "embedding", hc, hc)
+          .materialize()
+      })
+      p("hier probe", time2(
+        SimilarityOps.hierIvfProbe(hidx, e, "vec_id", "embedding", 1, 4, 8).count()))
+      hidx.unpersist()
+    }
+
     if (mode == "ivf" || mode == "all") {
       val e = t("embeddings")
       val nEmb = e.count()

@@ -132,12 +132,16 @@ class PlanSpec extends SparkSuite {
     // the signature branch must not re-read the embedding column
     assert(!sigExchanges.exists(_.child.toString.contains("qv")),
       "signature branch must not carry vectors")
-    // and the rank-window exchange ships (ids, sim) scalars — the fetched
-    // vectors must be pruned before the sort
-    val windowExchanges = exchangesCarrying(
-      graft.ops.SimilarityOps.lshTopK(emb, "vec_id", "embedding",
-        k = 1, bits = 6, tables = 4), "sim")
-    assertArrayFree(windowExchanges, "rank-window")
+    // the rank tail is the map-side-combining topk_ids aggregate (round 6):
+    // scored pairs never ride an exchange at all — each map task collapses
+    // its groups to ≤ k ids before the shuffle — and the per-partition
+    // window sort is gone
+    val plan = graft.ops.SimilarityOps.lshTopK(emb, "vec_id", "embedding",
+      k = 1, bits = 6, tables = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("topk_ids"),
+      s"rank tail must be the topk_ids aggregate:\n$plan")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window ["),
+      s"rank window leaked back into the plan:\n$plan")
   }
 
   test("embeddingNearDups bucket exchange carries no embedding arrays") {
