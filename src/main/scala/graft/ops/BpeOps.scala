@@ -39,7 +39,10 @@ object BpeOps {
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
                maxVocabWords: Int = 50000): BpeMerges = {
     require(nMerges >= 0 && maxVocabWords > 0)
-    val counts = df.select(explode(TextOps.words(col(textCol))).as("w"))
+    // scan-parallelism floor: the word explode + partial count run in the
+    // scan stage (no-op at scale, see util.Par)
+    val counts = graft.util.Par.ensure(df.select(col(textCol)))
+      .select(explode(TextOps.words(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))
@@ -134,7 +137,10 @@ object BpeOps {
     graft.functions.GraftFunctions.bpe_encode(text,
       merges.pairs.map { case (a, b) => a + " " + b }.toArray)
 
-  /** Tokens per document: (docCols..., tokens, n_bpe_tokens). */
+  /** Tokens per document: (docCols..., tokens, n_bpe_tokens). Stays a pure
+    * scan-side projection (BpeOpsSpec pins the zero-exchange plan): no
+    * parallelism floor here — encode output feeds writes/aggregates whose
+    * own partitioning is the caller's business. */
   def tokenize(df: DataFrame, textCol: String, merges: BpeMerges): DataFrame =
     df.withColumn("bpe_tokens", bpeEncode(col(textCol), merges))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))

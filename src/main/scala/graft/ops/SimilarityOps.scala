@@ -220,9 +220,12 @@ object SimilarityOps {
     val thresh = if (n == 0) mod else math.min(mod, mod * target / n + 1)
     // pin the (small, ≤64·k-row) sample: every Lloyd round re-scans it.
     // Par.ensure: each round's assignment kernel runs over the pinned
-    // sample's partitioning — floor it at the core count (no-op at scale)
+    // sample's partitioning — floored, but CAPPED by the sample size
+    // (~512 rows per task) so a small-k training sample doesn't pay a
+    // full-width exchange for a few hundred rows
     val train = graft.util.Par.ensure(
-        vecs.filter(pmod(xxhash64(col("id"), lit(17)), lit(mod)) < thresh))
+        vecs.filter(pmod(xxhash64(col("id"), lit(17)), lit(mod)) < thresh),
+        math.max(1, (target / 512L).toInt))
       .localCheckpoint()
     // centroids live on the DRIVER between rounds (they are k × dim floats
     // — broadcast-sized by contract): each Lloyd round is then ONE job —
@@ -416,7 +419,8 @@ object SimilarityOps {
         .select(col("id"), col("v"),
           get(graft.functions.GraftFunctions.nearest_centroids(
             col("v"), coarse.toSeq, 1), lit(0)).as("ccid"))
-        .filter(col("ccid").isNotNull))
+        .filter(col("ccid").isNotNull),
+        math.max(1, (target / 512L).toInt)) // sample-size-capped, see kmeans
       .localCheckpoint()
     // init: up to nFinePerCell hash-ranked points per coarse cell ARE the
     // initial sub-centroids (k-means++-ish spread without extra passes)
@@ -564,7 +568,8 @@ object SimilarityOps {
       val target = math.min(n, 64L * k0)
       val thresh = if (n == 0) mod else math.min(mod, mod * target / n + 1)
       val train = graft.util.Par.ensure(vecs
-          .filter(pmod(xxhash64(col("id"), lit(19)), lit(mod)) < thresh))
+          .filter(pmod(xxhash64(col("id"), lit(19)), lit(mod)) < thresh),
+          math.max(1, (target / 512L).toInt)) // sample-size-capped
         .localCheckpoint()
       for (_ <- 1 to iters) {
         val means = train

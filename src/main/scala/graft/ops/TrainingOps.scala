@@ -151,7 +151,8 @@ object TrainingOps {
    * column; the aggregate collapses it back before the (tiny) top-k sort.
    */
   def vocabStats(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame =
-    df.select(col(idCol).as("id"), explode(TextOps.words(col(textCol))).as("word"))
+    graft.util.Par.ensure(df.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(TextOps.words(col(textCol))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("occurrences"),
            count_distinct(col("id")).as("doc_freq"))

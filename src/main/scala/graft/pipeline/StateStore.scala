@@ -343,19 +343,25 @@ object StateStore {
     // mid-size states — 10M..1B ids, filter 14 MB..1.4 GB; beyond that the
     // filter itself is the bottleneck and partitioned join pruning, not a
     // single Bloom, is the right tool.)
-    val parts = math.max(4, math.min(ids.rdd.getNumPartitions,
-      (expected / 4000000L).toInt + 1))
+    val parts = math.max(4, math.min(ids.queryExecution.toRdd.getNumPartitions,
+      (expected / 2000000L).toInt + 1))
     val nonNull = ids.filter(col(idCol).isNotNull).coalesce(parts)
     val zero = BloomFilter.create(math.max(1L, expected), fpp)
+    // insert from the INTERNAL rows (toRdd): the Dataset[String] path
+    // decoded every id into a java.lang.String first — pure allocation, the
+    // filter hashes raw UTF-8 bytes anyway (same bytes either way, so the
+    // probe domain is unchanged). ~2M inserts per task: enough tasks to
+    // parallelize the hashing, few enough that the per-partition
+    // expected-size filters stay a handful through the merge.
     if (longDomain)
-      nonNull.select(col(idCol).cast("long")).as[Long].rdd
+      nonNull.select(col(idCol).cast("long")).queryExecution.toRdd
         .treeAggregate(zero)(
-          (f, v) => { f.putLong(v); f },
+          (f, r) => { f.putLong(r.getLong(0)); f },
           (a, b) => { a.mergeInPlace(b); a })
     else
-      nonNull.select(col(idCol).cast("string")).as[String].rdd
+      nonNull.select(col(idCol).cast("string")).queryExecution.toRdd
         .treeAggregate(zero)(
-          (f, s) => { f.putBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f },
+          (f, r) => { f.putBinary(r.getUTF8String(0).getBytes); f },
           (a, b) => { a.mergeInPlace(b); a })
   }
 }

@@ -146,6 +146,37 @@ object R06Measure {
       p("ngram candidates (count)", time2(candidates.count()))
     }
 
+    if (mode == "ngram3") {
+      // A/B: window-ranked prefix (no collect_list regroup + re-explode)
+      val d = t("documents")
+      val src = graft.util.Par.ensure(d.select(col("lang").as("blk"),
+        col("doc_id").as("id"), col("text")))
+      val sized = src.select(col("blk"), col("id"),
+          graft.functions.GraftFunctions.shingle_hashes(col("text"), 2).as("sh"))
+        .withColumn("ns", size(col("sh"))).localCheckpoint()
+      val exploded = sized.select(col("blk"), col("id"), col("ns"),
+        explode(col("sh")).as("tok"))
+      val dfTable = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+      val ceilT = floor((col("ns") * 55 + 99) / lit(100.0)).cast("int")
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy("blk", "id").orderBy(col("df"), col("tok"))
+      val pref = exploded.join(dfTable, Seq("tok"))
+        .withColumn("__rn", row_number().over(wOrd))
+        .filter(col("__rn") <= greatest(col("ns") - ceilT + 1, lit(0)))
+        .select(col("blk"), col("tok"), col("id"), col("ns"))
+      val a = pref.select(col("blk"), col("tok"), col("id").as("id_a"), col("ns").as("ns_a"))
+      val b = pref.select(col("blk"), col("tok"), col("id").as("id_b"), col("ns").as("ns_b"))
+      val candidates = a.join(b, Seq("blk", "tok"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(least(col("ns_a"), col("ns_b")) * 100 >=
+                greatest(col("ns_a"), col("ns_b")) * 55)
+        .select("blk", "id_a", "id_b").dropDuplicates("id_a", "id_b")
+      p("ngram3 candidates windowed (count)", time2(candidates.count()))
+      label("ngram full for comparison")
+      p("ngram full (count)", time2(
+        DedupOps.ngramJaccardPairs(d, "doc_id", "text", "lang", 2, 55).count()))
+    }
+
     if (mode == "hier") {
       val e = t("embeddings")
       val nEmb = e.count()

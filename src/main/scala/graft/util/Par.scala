@@ -30,8 +30,16 @@ import org.apache.spark.sql.DataFrame
  */
 object Par {
 
-  def ensure(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+  def ensure(df: DataFrame): DataFrame = ensure(df, Int.MaxValue)
+
+  /** `cap` bounds the floored parallelism — for inputs KNOWN to be tiny
+    * (k-means training samples) where full-width repartitioning would buy
+    * a few hundred rows per task and pay exchange + scheduling overhead
+    * on every downstream pass instead. */
+  def ensure(df: DataFrame, cap: Int): DataFrame = {
+    val target = math.min(cap.toLong,
+      df.sparkSession.sparkContext.defaultParallelism.toLong).toInt
+    if (target <= 1) return df
     val plan = df.queryExecution.sparkPlan
     val hasExchange = plan.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
