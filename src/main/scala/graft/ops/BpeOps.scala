@@ -39,10 +39,7 @@ object BpeOps {
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
                maxVocabWords: Int = 50000): BpeMerges = {
     require(nMerges >= 0 && maxVocabWords > 0)
-    // scan-parallelism floor: the word explode + partial count run in the
-    // scan stage (no-op at scale, see util.Par)
-    val counts = graft.util.Par.ensure(df.select(col(textCol)))
-      .select(explode(TextOps.words(col(textCol))).as("w"))
+    val counts = df.select(explode(TextOps.words(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))

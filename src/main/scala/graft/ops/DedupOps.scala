@@ -401,8 +401,11 @@ object DedupOps {
     // FunctionsSpec-pinned): the HOF formulation both interprets its
     // lambda per element AND — without a projection barrier — re-splits
     // the whole text per chunk index (no CSE inside HOF lambdas).
-    // Par.ensure: chunking + the partial_min both run pre-exchange.
-    val chunked = graft.util.Par.ensure(df).select(col(idCol).as("id"),
+    // NO scan-parallelism floor here: chunking is cheap per row and the
+    // content-keyed exchange dominates — the round-6 interleaved A/B
+    // measured the floored variant 0.59 → 0.93 s (repartitioning the text
+    // bytes costs more than the single-task chunk scan it parallelizes).
+    val chunked = df.select(col(idCol).as("id"),
       posexplode(graft.functions.GraftFunctions.word_chunks(col(textCol), chunkWords))
         .as(Seq("idx", "chunk")))
     keepFirstAndReassemble(chunked, fingerprintSpans)
@@ -479,7 +482,8 @@ object DedupOps {
   def spanDedupCdc(df: DataFrame, idCol: String, textCol: String,
                    avgChunkWords: Int = 8, fingerprintSpans: Boolean = false): DataFrame = {
     require(avgChunkWords > 0)
-    val chunked = graft.util.Par.ensure(df).select(col(idCol).as("id"),
+    // no floor, same measured reasoning as spanDedup
+    val chunked = df.select(col(idCol).as("id"),
       posexplode(graft.functions.GraftFunctions.cdc_chunks(col(textCol), avgChunkWords))
         .as(Seq("idx", "chunk")))
     keepFirstAndReassemble(chunked, fingerprintSpans)
@@ -526,8 +530,9 @@ object DedupOps {
     require(minJaccardPct >= 1 && minJaccardPct <= 100,
       s"minJaccardPct=$minJaccardPct: the prefix filter needs a positive threshold " +
       "(at 0 every pair qualifies vacuously — that's a cross join, not a similarity join)")
-    val src = graft.util.Par.ensure(
-      df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(textCol).as("text")))
+    // no scan floor: the interleaved A/B measured it 2.62 → 2.78+ s here —
+    // shingling is cheap and the df-order/candidate exchanges dominate
+    val src = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(textCol).as("text"))
     // SINGLE-SCAN CONTRACT: the (id, shingles) projection is materialized
     // once (eager localCheckpoint) — the df-ordering explode and the two
     // per-surviving-pair fetch joins below all read these blocks instead of

@@ -151,8 +151,7 @@ object TrainingOps {
    * column; the aggregate collapses it back before the (tiny) top-k sort.
    */
   def vocabStats(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame =
-    graft.util.Par.ensure(df.select(col(idCol).as("id"), col(textCol)))
-      .select(col("id"), explode(TextOps.words(col(textCol))).as("word"))
+    df.select(col(idCol).as("id"), explode(TextOps.words(col(textCol))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("occurrences"),
            count_distinct(col("id")).as("doc_freq"))
@@ -219,9 +218,10 @@ object TrainingOps {
         explode(graft.functions.GraftFunctions.shingle_hashes(col(testTextCol), n))
           .as("tok"))
       .distinct()
-    // Par.ensure: the shingle explode + broadcast probe + partial count all
-    // run in the corpus scan stage (no-op at scale, see util.Par)
-    graft.util.Par.ensure(corpus).select(col(idCol).as("id"),
+    // no scan floor: the round-6 A/B measured the floored variant
+    // 0.61 → 0.77 s — shingling is cheap per row and the repartition buys
+    // less than it costs (OpTime decon vs decon_raw)
+    corpus.select(col(idCol).as("id"),
         explode(graft.functions.GraftFunctions.shingle_hashes(col(textCol), n))
           .as("tok"))
       .join(broadcast(testShingles), Seq("tok"))

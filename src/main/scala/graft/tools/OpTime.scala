@@ -32,12 +32,31 @@ object OpTime {
   def main(args: Array[String]): Unit = {
     val op = args.headOption.getOrElse("ngram")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val spark = graft.pipeline.GraftSession.builder("local[32]", 32, "optime").getOrCreate()
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — ad-hoc conf override for A/Bs
+    val b0 = graft.pipeline.GraftSession.builder("local[32]", 32, "optime")
+    val b = sys.env.get("SPARK_GRAFT_EXTRA_CONF").map(_.split(";").toSeq)
+      .getOrElse(Nil).filter(_.contains("="))
+      .foldLeft(b0) { (acc, kv) =>
+        val Array(k, v) = kv.split("=", 2); acc.config(k, v)
+      }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t(name: String) = spark.read.parquet(s"$sfDir/$name.parquet")
     def run(): Long = op match {
       case "ngram" =>
         DedupOps.ngramJaccardPairs(t("documents"), "doc_id", "text", "lang", 2, 55).count()
+      case "decon" | "decon_raw" => // floored vs raw corpus-side scan
+        val docs = t("documents")
+        val corpus0 = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        val corpus = if (op == "decon") graft.util.Par.ensure(corpus0) else corpus0
+        val evalSet = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        val testShingles = evalSet.select(
+            explode(graft.functions.GraftFunctions.shingle_hashes(col("text"), 2)).as("tok"))
+          .distinct()
+        corpus.select(col("doc_id").as("id"),
+            explode(graft.functions.GraftFunctions.shingle_hashes(col("text"), 2)).as("tok"))
+          .join(broadcast(testShingles), Seq("tok"))
+          .groupBy("id").agg(count(lit(1)).as("n_hits")).count()
       case "clusters" =>
         DedupOps.nearDupClusters(t("documents"), "doc_id", "text").count()
       case "minhash" =>
