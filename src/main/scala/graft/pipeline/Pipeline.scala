@@ -70,7 +70,20 @@ object Pipeline {
     // state exceeds this many rows (-1 = off, the measured default — see
     // StateStore.dedup: the filter build only pays for itself when the
     // avoided incoming exchange is network-bound).
-    bloomPruneThreshold: Long = -1L)
+    bloomPruneThreshold: Long = -1L,
+    // Materialize the shared routed set as a localCheckpoint (raw
+    // UnsafeRow blocks — skips the columnar-cache transpose/encode) instead
+    // of a columnar persist. Default ON: PerfLab ckptab, 6 interleaved
+    // rounds across two contention epochs, checkpoint won 5/6 (best 5.76 s
+    // vs 6.48 s full pipeline) — the columnar transpose of the token
+    // arrays buys nothing for a cache read back row-wise by 8 sink jobs.
+    // Trade-offs, both documented for cluster use: blocks are freed by the
+    // ContextCleaner when the run's DataFrames go unreachable (no explicit
+    // unpersist), and a localCheckpoint truncates lineage — a lost
+    // executor fails the job instead of recomputing (the run is idempotent
+    // by the overwrite contract, so a re-run is safe); set false where
+    // executor churn is routine.
+    cacheViaCheckpoint: Boolean = true)
 
   case class Result(stats: RunStats, snapshot: Option[Int])
 
@@ -138,8 +151,9 @@ object Pipeline {
     // One materialization feeds all sinks + quarantine (the reference clones
     // the batch per interface, src/collector.rs:215-226; we persist once).
     val filteredCached =
-      if (cfg.persistRouted) filtered.persist(StorageLevel.MEMORY_AND_DISK)
-      else filtered
+      if (!cfg.persistRouted) filtered
+      else if (cfg.cacheViaCheckpoint) filtered.localCheckpoint(eager = false)
+      else filtered.persist(StorageLevel.MEMORY_AND_DISK)
     val quarantineP = Route.quarantined(filteredCached)
     val routedP = Route.routed(filteredCached)
     val quarantine = quarantineP.drop("__pid")
@@ -259,6 +273,8 @@ object Pipeline {
         rowsQuarantined = rowsFiltered - rowsRouted,
         rowsRouted = rowsRouted)
       Result(stats, backend.currentVersion)
-    } finally if (cfg.persistRouted) { filteredCached.unpersist(); () }
+    } finally if (cfg.persistRouted && !cfg.cacheViaCheckpoint) {
+      filteredCached.unpersist(); ()
+    }
   }
 }

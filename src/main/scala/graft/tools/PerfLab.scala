@@ -34,6 +34,7 @@ object PerfLab {
     case "dictab"  => dictAb()
     case "writerab" => writerAb()
     case "cacheab" => cacheAb()
+    case "ckptab"  => ckptAb()
     case other     => sys.error(s"unknown mode $other")
   }
 
@@ -46,6 +47,32 @@ object PerfLab {
       "spark.sql.inMemoryColumnarStorage.compressed" -> "true"),
     "columnar_raw" -> Seq(
       "spark.sql.inMemoryColumnarStorage.compressed" -> "false")))
+
+  /** A/B the routed-cache MECHANISM: columnar persist (raw, the cacheab
+    * winner) vs localCheckpoint (UnsafeRow blocks, no columnar transpose
+    * at all). Interleaved like every other A/B. */
+  private def ckptAb(): Unit = {
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (round <- 1 to 3; ckpt <- Seq(false, true)) {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      val spark = GraftSession.builder("local[32]", 32, s"ckptab-$ckpt").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      graft.util.Scratch.withTempDir("ckptab_warm") { w =>
+        Pipeline.run(spark, DataGen.sequences(spark, 10000L, 8), w,
+          Pipeline.Config(cacheViaCheckpoint = ckpt))
+      }
+      val name = if (ckpt) "localCheckpoint" else "columnar_persist"
+      val t = graft.util.Scratch.withTempDir("ckptab") { out =>
+        time(Pipeline.run(spark, DataGen.sequences(spark, 1000000L, 64), out,
+          Pipeline.Config(cacheViaCheckpoint = ckpt)))
+      }
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      println(f"ROUND $round $name%-18s $t%6.2f best=${best(name)}%6.2f")
+      spark.stop()
+    }
+    best.foreach { case (n, t) => println(f"CKPTAB $n%-18s $t%6.2f s") }
+  }
 
   /** A/B the V1 write path's partition-sort: planned writes (3.4+ default)
     * SORT each sink's rows by partition columns before writing so one
