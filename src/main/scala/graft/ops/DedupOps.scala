@@ -196,11 +196,15 @@ object DedupOps {
     val width = (bits + chunks - 1) / chunks // ceil; last chunk may be narrower
     // portable=true uses the affine/poly-hash signature DuckDB reproduces
     // exactly (q_dedup_simhash_portable); default is the xxhash64 variant
+    // scan-parallelism floor on the (id, text) projection, signature
+    // kernel computed ABOVE it — a floor on the signature projection
+    // itself would compute the kernel below the exchange, single-task
     val sigCol =
-      if (portable) graft.functions.GraftFunctions.simhash_poly(col(textCol), bits)
-      else graft.functions.GraftFunctions.simhash64(col(textCol))
-    // scan-parallelism floor — the signature kernel runs in the scan stage
-    val sigd = graft.util.Par.ensure(df.select(col(idCol).as("id"), sigCol.as("sig")))
+      if (portable) graft.functions.GraftFunctions.simhash_poly(col("__text"), bits)
+      else graft.functions.GraftFunctions.simhash64(col("__text"))
+    val sigd = graft.util.Par.ensure(
+        df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), sigCol.as("sig"))
     val chunked = sigd.withColumn("chunk", explode(array((0 until chunks).map { c =>
       val lo = c * width
       val w = math.min(width, bits - lo)

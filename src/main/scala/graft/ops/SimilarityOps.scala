@@ -414,13 +414,15 @@ object SimilarityOps {
     val n = vecs.count()
     val target = math.min(n, 64L * nCoarse.toLong * nFinePerCell)
     val thresh = if (n == 0) mod else math.min(mod, mod * target / n + 1)
-    val sample = graft.util.Par.ensure(vecs
-        .filter(pmod(xxhash64(col("id"), lit(23)), lit(mod)) < thresh)
-        .select(col("id"), col("v"),
-          get(graft.functions.GraftFunctions.nearest_centroids(
-            col("v"), coarse.toSeq, 1), lit(0)).as("ccid"))
-        .filter(col("ccid").isNotNull),
-        math.max(1, (target / 512L).toInt)) // sample-size-capped, see kmeans
+    // floor the hash-filtered sample FIRST (capped, see kmeans), assign
+    // coarse cells ABOVE it — the kernel must run after the exchange
+    val sample = graft.util.Par.ensure(
+        vecs.filter(pmod(xxhash64(col("id"), lit(23)), lit(mod)) < thresh),
+        math.max(1, (target / 512L).toInt))
+      .select(col("id"), col("v"),
+        get(graft.functions.GraftFunctions.nearest_centroids(
+          col("v"), coarse.toSeq, 1), lit(0)).as("ccid"))
+      .filter(col("ccid").isNotNull)
       .localCheckpoint()
     // init: up to nFinePerCell hash-ranked points per coarse cell ARE the
     // initial sub-centroids (k-means++-ish spread without extra passes)
