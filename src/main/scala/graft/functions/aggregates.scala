@@ -90,7 +90,7 @@ final class TopKBuffer(val k: Int, val desc: Boolean) {
  * bench) into a 2 000-row one.
  *
  * Ordering semantics are pinned to the window formulation it replaces
- * (FunctionsSpec): Spark's nan-safe double ordering on the key, Spark's
+ * (TopKAggSpec): Spark's nan-safe double ordering on the key, Spark's
  * default null ordering (asc → nulls first, desc → nulls last), ties by
  * id ascending (nulls first). Output: array<long> of ids in rank order
  * (rank = array position + 1).

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
  *
  *  - Brute-force cosine top-k: the correctness baseline. Queries are
  *    broadcast; the scan side streams once through the corpus —
- *    BroadcastNestedLoopJoin, no shuffle of the big side; top-k via
- *    per-query window.
+ *    BroadcastNestedLoopJoin, no shuffle of the big side; top-k via the
+ *    map-side-combining `topk_ids` aggregate (scored pairs never ride an
+ *    exchange — see rankTopK).
  *  - LSH-bucketed ANN (random hyperplanes): the scale path. Each vector gets
  *    a `bits`-bit sign signature from deterministic pseudo-random
  *    hyperplanes; candidates share a bucket, verified by exact cosine.
@@ -66,7 +67,7 @@ object SimilarityOps {
    * collapses its slice of a group to ≤ k rows BEFORE the exchange, so the
    * shuffle carries O(groups·k) rows instead of every scored pair, and the
    * window's per-partition sort disappears; ordering semantics are pinned
-   * to the window formulation in FunctionsSpec). Non-long ids keep the
+   * to the window formulation in TopKAggSpec). Non-long ids keep the
    * window formulation.
    */
   private def rankTopK(scored: DataFrame, groupCol: String, keyCol: String,

@@ -35,6 +35,7 @@ object PerfLab {
     case "writerab" => writerAb()
     case "cacheab" => cacheAb()
     case "ckptab"  => ckptAb()
+    case "crcab"   => crcAb()
     case other     => sys.error(s"unknown mode $other")
   }
 
@@ -112,6 +113,15 @@ object PerfLab {
     best.foreach { case (n, t) =>
       println(("%s %-" + width + "s %6.2f s").format(tag.toUpperCase, n, t)) }
   }
+
+  /** A/B parquet page write-checksums (on by default): pure CPU on the
+    * sink-write path; the format treats them as optional so readers are
+    * unaffected. */
+  private def crcAb(): Unit = abHarness("crcab", Seq(
+    "crc_on" -> Seq(
+      "spark.hadoop.parquet.page.write-checksum.enabled" -> "true"),
+    "crc_off" -> Seq(
+      "spark.hadoop.parquet.page.write-checksum.enabled" -> "false")))
 
   private def writerAb(): Unit = abHarness("writerab", Seq(
     "sorted_write" -> Seq("spark.sql.maxConcurrentOutputFileWriters" -> "0"),
