@@ -29,8 +29,9 @@ object PipelineProfile {
       println(f"[profile] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
     val seqs = DataGen.sequences(spark, n, cpus * 2)
+    // localCheckpoint — the Pipeline.run default since round 6 (ckptab A/B)
     val filtered = FilterStage.applyStatic(Parse.deriveFields(seqs), DataGen.routingRules)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     time("materialize cache")(filtered.count())
     val routed = Route.routed(filtered)
     val salted = time("salt shuffle plan")(Route.saltedForWrite(routed, 8))
