@@ -132,8 +132,12 @@ object EventOps {
     val leftCols = left.columns
     // the plan builds through fixed temp columns; an input that already
     // carries one of these names would be silently overwritten and dropped
+    // case-INSENSITIVE compare: Spark resolves columns case-insensitively
+    // by default, so a user column "__TS" clashes with withColumn("__ts")
+    // all the same
     val reserved = Seq("__ts", "__tag", "__v", "__last", "__matched")
-    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    val clash = (left.columns ++ right.columns)
+      .filter(c => reserved.exists(_.equalsIgnoreCase(c)))
     require(clash.isEmpty,
       s"asofJoinBackward: input columns ${clash.mkString(", ")} collide with " +
       s"reserved temp names (${reserved.mkString(", ")}) — rename them first")

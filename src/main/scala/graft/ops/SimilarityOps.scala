@@ -72,11 +72,13 @@ object SimilarityOps {
    */
   private def rankTopK(scored: DataFrame, groupCol: String, keyCol: String,
                        idCol: String, k: Int, desc: Boolean): DataFrame = {
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{DoubleType, LongType}
     // the aggregate allocates a k-entry buffer PER GROUP per task — for
     // top-k/shortlist sizes (1..100s) that is the point; a huge k would
-    // turn buffers into the memory cost the window never has
-    if (k <= 4096 && scored.schema(idCol).dataType == LongType) {
+    // turn buffers into the memory cost the window never has. Non-(double,
+    // long) inputs degrade to the window, never to an analysis error.
+    if (k <= 4096 && scored.schema(idCol).dataType == LongType &&
+        scored.schema(keyCol).dataType == DoubleType) {
       scored.groupBy(groupCol)
         .agg(graft.functions.GraftAggregates.topk_ids(
           col(keyCol), col(idCol), k, desc).as("__topk"))

@@ -32,7 +32,13 @@ object GraftSession {
       // arrays the cosine/ADC key reads — which is exactly the all-rows
       // sort the aggregate replaces. Top-k buffers are bounded (k ids +
       // doubles each), so 4096 in-memory groups is ≤ a few MB per task;
-      // beyond it the graceful sort fallback still applies.
+      // beyond it the graceful sort fallback still applies. NOTE this is
+      // session-global, so collect_list aggregates (span-dedup reassembly)
+      // also hold up to 4096 in-flight groups — ~4096 × one document of
+      // chunk strings per task. Fine at ordinary document sizes (round-6
+      // interleaved bisect measured 128 vs 4096 within noise on the
+      // collect_list-heaviest op); for corpora of very large documents
+      // (≫100 KB) lower it back toward the default.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       // Sink-write I/O (PerfLab sinkab, interleaved best-of-3 at 10^6 rows):
       // committer v2 renames task files in the tasks instead of serially on

@@ -164,13 +164,16 @@ object Pipeline {
       val routedCount = if (cfg.persistRouted) cached.count() else -1L
       // Output-file sizing for the record sinks (see targetRowsPerFile):
       // never expands parallelism, only merges under-filled partitions —
-      // FLOORED at the session default parallelism (guide §2.6 idle
-      // capacity): the sink writes dominate the run, and coalescing a small
-      // routed set below the core count (sf0.1: 393k rows / 250k target =
-      // 2 write tasks on 32 cores) idles the machine during its most
-      // expensive phase. At scale partsFor >> cores, so the floor never
-      // binds and file sizing is unchanged; locally it trades file size
-      // (rows/cores per file) for full write parallelism.
+      // and the MERGE is floored at the session default parallelism
+      // (guide §2.6 idle capacity): the sink writes dominate the run, and
+      // coalescing a small routed set below the core count (sf0.1: 393k
+      // rows / 250k target = 2 write tasks on 32 cores) idles the machine
+      // during its most expensive phase. At scale partsFor >> cores, so
+      // the floor never binds and file sizing is unchanged. Note the
+      // floor limits how far coalesce MERGES — an input that already
+      // arrives with fewer partitions than cores keeps its own
+      // parallelism (coalesce cannot expand; forcing a repartition here
+      // would add an unmeasured full-payload exchange).
       val writeParallelism = spark.sparkContext.defaultParallelism
       def partsFor(n: Long): Int =
         if (n >= 0 && cfg.targetRowsPerFile > 0)
@@ -273,8 +276,14 @@ object Pipeline {
         rowsQuarantined = rowsFiltered - rowsRouted,
         rowsRouted = rowsRouted)
       Result(stats, backend.currentVersion)
-    } finally if (cfg.persistRouted && !cfg.cacheViaCheckpoint) {
-      filteredCached.unpersist(); ()
+    } finally if (cfg.persistRouted) {
+      if (cfg.cacheViaCheckpoint)
+        // deterministic release (the ContextCleaner would otherwise wait
+        // for GC): safe because every output is durably written and every
+        // stat collected before this point — nothing re-reads the blocks
+        org.apache.spark.sql.graftglue.RddGlue.checkpointRdd(filteredCached)
+          .foreach(_.unpersist(blocking = false))
+      else { filteredCached.unpersist(); () }
     }
   }
 }

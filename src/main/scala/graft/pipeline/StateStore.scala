@@ -337,12 +337,12 @@ object StateStore {
     // Cap build parallelism: every partition allocates (and later
     // serializes + merges) a full expected-size filter — at a 12M-row
     // state that is 14 MB PER PARTITION, and 32 partitions put ~450 MB
-    // through the merge for a scan whose insert work is trivial. ~4M
-    // inserts per task keeps the scan parallel enough while the merge
-    // traffic stays at a handful of filters. (The pre-prune regime is
-    // mid-size states — 10M..1B ids, filter 14 MB..1.4 GB; beyond that the
-    // filter itself is the bottleneck and partitioned join pruning, not a
-    // single Bloom, is the right tool.)
+    // through the merge for a scan whose insert work is trivial. ~2M
+    // inserts per task (see below) keeps the hashing parallel while the
+    // merge traffic stays at a handful of filters. (The pre-prune regime
+    // is mid-size states — 10M..1B ids, filter 14 MB..1.4 GB; beyond that
+    // the filter itself is the bottleneck and partitioned join pruning,
+    // not a single Bloom, is the right tool.)
     val parts = math.max(4, math.min(ids.queryExecution.toRdd.getNumPartitions,
       (expected / 2000000L).toInt + 1))
     val nonNull = ids.filter(col(idCol).isNotNull).coalesce(parts)

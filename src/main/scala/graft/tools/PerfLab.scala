@@ -39,15 +39,38 @@ object PerfLab {
     case other     => sys.error(s"unknown mode $other")
   }
 
-  /** A/B the routed-cache build cost: columnar-cache compression on
-    * (default) vs off. The cache materialization measured ~4.7 s of the
+  /** A/B the COLUMNAR routed-cache build cost: compression on (Spark
+    * default) vs off. The cache materialization measured ~4.7 s of the
     * ~7.5 s pipeline (PipelineProfile round 6); the token arrays compress
-    * poorly (near-random ints) so the encode work may be mostly wasted. */
-  private def cacheAb(): Unit = abHarness("cacheab", Seq(
-    "columnar_compressed" -> Seq(
-      "spark.sql.inMemoryColumnarStorage.compressed" -> "true"),
-    "columnar_raw" -> Seq(
-      "spark.sql.inMemoryColumnarStorage.compressed" -> "false")))
+    * poorly (near-random ints) so the encode work may be mostly wasted.
+    * Runs with cacheViaCheckpoint=false explicitly — the round-6 default
+    * flipped to localCheckpoint, which never builds the columnar cache
+    * this A/B exists to measure. */
+  private def cacheAb(): Unit = {
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val variants = Seq(
+      "columnar_compressed" -> "true",
+      "columnar_raw" -> "false")
+    for (round <- 1 to 3; (name, v) <- variants) {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      val spark = GraftSession.builder("local[32]", 32, s"cacheab-$name")
+        .config("spark.sql.inMemoryColumnarStorage.compressed", v)
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val cfg = Pipeline.Config(cacheViaCheckpoint = false)
+      graft.util.Scratch.withTempDir("cacheab_warm") { w =>
+        Pipeline.run(spark, DataGen.sequences(spark, 10000L, 8), w, cfg)
+      }
+      val t = graft.util.Scratch.withTempDir("cacheab") { out =>
+        time(Pipeline.run(spark, DataGen.sequences(spark, 1000000L, 64), out, cfg))
+      }
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      println(f"ROUND $round $name%-19s $t%6.2f best=${best(name)}%6.2f")
+      spark.stop()
+    }
+    best.foreach { case (n, t) => println(f"CACHEAB $n%-19s $t%6.2f s") }
+  }
 
   /** A/B the routed-cache MECHANISM: columnar persist (raw, the cacheab
     * winner) vs localCheckpoint (UnsafeRow blocks, no columnar transpose

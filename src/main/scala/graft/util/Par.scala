@@ -17,10 +17,16 @@ import org.apache.spark.sql.DataFrame
  * default parallelism. It is deliberately conservative so it can never
  * hurt at scale:
  *
- *  - only fires when the physical plan contains NO exchange (a pure
- *    scan/projection lineage — inspecting it runs zero jobs; plans that
- *    already shuffle get their parallelism from the shuffle, and forcing
- *    their RDD here could trigger AQE stage execution at plan time);
+ *  - only fires when the OPTIMIZED LOGICAL plan is scan-shaped (a
+ *    whitelist of narrow operators over leaf relations — inspecting it
+ *    runs zero jobs). Plans containing joins/aggregates/windows/explicit
+ *    repartitions get their parallelism from their own exchanges, and —
+ *    decisive here — merely forcing such a plan's RDD under AQE would
+ *    synchronously EXECUTE its shuffle stages at operator-construction
+ *    time (AdaptiveSparkPlanExec materializes stages in toRdd), then
+ *    recompute them in the real job. A physical-plan Exchange check is
+ *    NOT enough: EnsureRequirements inserts the implicit exchanges after
+ *    `sparkPlan`, so a groupBy/join input would pass it;
  *  - only fires when the planned partition count is below the session
  *    default parallelism — at 100 TB a corpus scan has orders of magnitude
  *    more splits than cores, so this is a no-op and no repartition
@@ -40,12 +46,23 @@ object Par {
     val target = math.min(cap.toLong,
       df.sparkSession.sparkContext.defaultParallelism.toLong).toInt
     if (target <= 1) return df
-    val plan = df.queryExecution.sparkPlan
-    val hasExchange = plan.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
-    if (hasExchange) df
+    if (!scanShaped(df.queryExecution.optimizedPlan)) df
     else if (df.queryExecution.toRdd.getNumPartitions < target)
       df.repartition(target)
     else df
+  }
+
+  /** Narrow-operators-over-leaves whitelist: exactly the plans whose RDD
+    * can be forced without executing anything (no shuffle stages exist)
+    * and whose scan-stage parallelism the floor is meant to fix. */
+  private def scanShaped(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: LeafNode => true
+      case _: Project | _: Filter | _: Generate | _: SubqueryAlias =>
+        p.children.forall(scanShaped)
+      case _ => false
+    }
   }
 }

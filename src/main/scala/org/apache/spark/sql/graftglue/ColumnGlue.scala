@@ -15,3 +15,16 @@ object ColumnGlue {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** RDD-level glue: reach the materialized RDD behind a localCheckpoint'd
+  * Dataset (its analyzed plan is a LogicalRDD leaf) so callers can release
+  * the checkpoint blocks DETERMINISTICALLY once a run's outputs are
+  * durable — the ContextCleaner otherwise frees them only after GC. */
+object RddGlue {
+  def checkpointRdd(df: org.apache.spark.sql.Dataset[_])
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+}
